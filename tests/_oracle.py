@@ -1,0 +1,91 @@
+"""ctypes binding to the C++ reference library (built from /root/reference).
+
+Used ONLY by tests/benches as a correctness oracle: golden frames, interop
+(our decoder on reference frames, reference decoder on our frames) and
+compressed-size parity. The TPU framework itself never depends on this.
+"""
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+_REF = "/root/reference"
+_LIB = None
+
+
+def _build(libpath: str) -> None:
+    os.makedirs(os.path.dirname(libpath), exist_ok=True)
+    with tempfile.TemporaryDirectory() as td:
+        cfg = os.path.join(td, "stenos_config.h")
+        with open(cfg, "w") as f:
+            f.write(
+                "#ifndef STENOS_CONFIG_HPP\n#define STENOS_CONFIG_HPP\n"
+                "#define STENOS_VERSION_MAJOR 0\n#define STENOS_VERSION_MINOR 2\n"
+                '#define STENOS_VERSION "0.2"\n#endif\n'
+            )
+        import glob
+
+        srcs = sorted(glob.glob(os.path.join(_REF, "stenos/internal/*.cpp")))
+        cmd = (
+            ["g++", "-O2", "-march=native", "-std=c++14", "-DNDEBUG", "-shared", "-fPIC",
+             f"-I{td}", f"-I{_REF}", "-DSTENOS_BUILD_SHARED_LIBRARY"]
+            + srcs
+            + ["-lzstd", "-o", libpath]
+        )
+        subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    """Build (if needed) and load the reference shared library."""
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    libpath = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "stenos_oracle",
+        "libstenos_oracle.so",
+    )
+    if not os.path.exists(libpath):
+        _build(libpath)
+    lib = ctypes.CDLL(libpath)
+    lib.stenos_compress.restype = ctypes.c_size_t
+    lib.stenos_compress.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+    ]
+    lib.stenos_decompress.restype = ctypes.c_size_t
+    lib.stenos_decompress.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_size_t,
+    ]
+    lib.stenos_bound.restype = ctypes.c_size_t
+    lib.stenos_bound.argtypes = [ctypes.c_size_t]
+    _LIB = lib
+    return lib
+
+
+def has_error(r: int) -> bool:
+    return r >= (2**64 - 100)
+
+
+def bound(nbytes: int) -> int:
+    return get_lib().stenos_bound(nbytes)
+
+
+def compress(data: bytes, bytesoftype: int, level: int) -> bytes:
+    lib = get_lib()
+    dst = ctypes.create_string_buffer(bound(len(data)) + 64)
+    r = lib.stenos_compress(data, bytesoftype, len(data), dst, len(dst), level)
+    if has_error(r):
+        raise RuntimeError(f"oracle compress error code {2**64 - r}")
+    return dst.raw[:r]
+
+
+def decompress(frame: bytes, bytesoftype: int, dst_size: int) -> bytes:
+    lib = get_lib()
+    dst = ctypes.create_string_buffer(dst_size + 64)
+    r = lib.stenos_decompress(frame, bytesoftype, len(frame), dst, dst_size)
+    if has_error(r):
+        raise RuntimeError(f"oracle decompress error code {2**64 - r}")
+    return dst.raw[:r]
