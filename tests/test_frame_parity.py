@@ -1,0 +1,62 @@
+"""Bit-exact parity and interop vs the C++ reference (oracle).
+
+Mirrors the reference codec sweep (tests_comp_decomp.cpp) with the added
+requirement that compressed frames are byte-identical, and both decoders
+accept each other's frames.
+"""
+
+import numpy as np
+import pytest
+
+import stenos_tpu as st
+import _oracle as oracle
+from conftest import gen_elements
+
+
+GRID = [
+    (bpp, ne, kind, level)
+    for kind in ["sorted", "random", "same", "rle", "smallrange"]
+    for bpp in [1, 2, 3, 4, 8, 12]
+    for ne in [0, 1, 100, 5000, 70001]
+    for level in [0, 1, 2, 5, 9]
+]
+
+
+@pytest.mark.parametrize("kind", ["sorted", "random", "same", "rle", "smallrange"])
+@pytest.mark.parametrize("bpp", [1, 2, 3, 4, 8, 12])
+def test_frame_bit_exact(rng, kind, bpp):
+    for ne in [0, 1, 100, 5000, 70001]:
+        for level in [0, 1, 2, 5, 9]:
+            data = gen_elements(rng, bpp, ne, kind)
+            ref = oracle.compress(data, bpp, level)
+            mine = st.compress(data, bpp, level)
+            assert mine == ref, (kind, bpp, ne, level)
+            assert st.decompress(ref, bpp).tobytes() == data
+            assert oracle.decompress(mine, bpp, len(data)) == data
+
+
+def test_exact_superblock_multiple_decodes(rng):
+    """The reference decoder rejects exact superblock multiples
+    (stenos.cpp:1131 latent bug); our decoder must handle them."""
+    data = gen_elements(rng, 4, 131072 // 4, "sorted")
+    assert len(data) == 131072
+    frame = st.compress(data, 4, 1)
+    assert st.decompress(frame, 4).tobytes() == data
+    # two full superblocks
+    data2 = gen_elements(rng, 4, 262144 // 4, "sorted")
+    frame2 = st.compress(data2, 4, 2)
+    assert st.decompress(frame2, 4).tobytes() == data2
+
+
+def test_get_info(rng):
+    data = gen_elements(rng, 4, 100000, "sorted")
+    frame = st.compress(data, 4, 3)
+    dsize, sb, hlen = st.get_info(frame, 4)
+    assert dsize == len(data)
+    assert hlen == 8
+    assert sb == st.super_block_size(1024) << 1  # level 3 -> shift 1
+
+
+def test_bound():
+    for n in [0, 1, 1000, 65792, 65793, 10**7]:
+        assert st.compress_bound(n) == oracle.bound(n)
