@@ -17,7 +17,7 @@ byte position across 256 elements, 16 rows of 16 consecutive bytes).
 from ..constants import RAW_DIFF
 
 
-def _width_lut(xp):
+def _width_lut():
     # bit-length with 7 bumped to 8 (block_compress.h:334-352): index by value
     # 0..255. width(v) = bitlength(v); 7 -> 8.
     import numpy as np
@@ -26,17 +26,16 @@ def _width_lut(xp):
     for v in range(1, 256):
         w[v] = v.bit_length()
     w[w == 7] = 8
-    return xp.asarray(w)
+    return w
 
 
-_LUTS = {}
+_WIDTH_LUT = _width_lut()
 
 
 def width_of(xp, v):
-    key = id(xp)
-    if key not in _LUTS:
-        _LUTS[key] = _width_lut(xp)
-    return _LUTS[key][v]
+    # NB: the LUT is cached as numpy only — materializing a backend array here
+    # under jit tracing would leak tracers into the cache.
+    return xp.asarray(_WIDTH_LUT)[v]
 
 
 def as_int8(v):

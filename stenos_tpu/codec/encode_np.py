@@ -22,93 +22,7 @@ from ..ops.bitpack import pack16_any
 from .lz_np import lz_compress_block
 
 
-def _compact16(rows, keep):
-    """Front-pack kept values of (..., 16) rows, preserving order."""
-    order = np.argsort(~keep, axis=-1, kind="stable")
-    return np.take_along_axis(rows, order, axis=-1)
-
-
-def _mask16(eq):
-    w = (1 << np.arange(16)).astype(np.int32)
-    return (eq.astype(np.int32) * w).sum(axis=-1)
-
-
-def build_plane_sections(x, info, codes, firsts):
-    """Build per-plane emission sections for NORMAL/NORMAL_RLE/SAME planes.
-
-    x: (nb, bpp, 16, 16) int32; returns dict of content/length arrays:
-      headA  (nb,bpp,8)  + lenA: hdr8 (8) or SAME byte (1) or 0 (RAW)
-      minsec (nb,bpp,18) + lenB
-      rows   (nb,bpp,16,18) + lenR
-    """
-    h = info["headers"]
-    normal = (codes == 2) | (codes == 3)
-
-    # --- slot A: packed row headers (or the ALL_SAME value byte)
-    hdr8 = h[..., 0::2] | (h[..., 1::2] << 4)  # (nb,bpp,8)
-    headA = np.where((codes == 0)[..., None], 0, hdr8)
-    headA[..., 0] = np.where(codes == 0, firsts, headA[..., 0])
-    lenA = np.where(codes == 0, 1, np.where(normal, 8, 0))
-
-    # --- slot B: min bytes (plain compacted or RLE16)
-    eligible = (h != 6) & (h != 7) & (h != 15)
-    mins = info["minbytes"]
-    plainB = np.zeros(mins.shape[:-1] + (18,), dtype=np.int32)
-    plainB[..., :16] = _compact16(mins, eligible)
-    n_eligible = eligible.sum(axis=-1)
-
-    meq = info["meq"]
-    rleB = np.zeros_like(plainB)
-    mmask = _mask16(meq)
-    rleB[..., 0] = mmask & 255
-    rleB[..., 1] = mmask >> 8
-    rleB[..., 2:] = _compact16(mins, ~meq)
-    n_kept = (~meq).sum(axis=-1)
-
-    is_rle = codes == 3
-    minsec = np.where(is_rle[..., None], rleB, plainB)
-    lenB = np.where(
-        normal, np.where(is_rle, 2 + n_kept, n_eligible), 0
-    )
-
-    # --- row payloads
-    d = info["deltas"]
-    bitpack = ((h >= 1) & (h <= 5)) | ((h >= 9) & (h <= 14))
-    b = np.where(bitpack, h % 8, 0)
-    sub = np.where((h < 8)[..., None], x, d)
-    v = (sub - mins[..., None]) & 255
-    packed = pack16_any(np, v, b)  # (nb,bpp,16,12)
-
-    rows = np.zeros(h.shape + (18,), dtype=np.int32)
-    rows[..., :12] = packed
-    lenR = 2 * b
-
-    # raw rows (h == 15)
-    raw = h == 15
-    rows[..., :16] = np.where(raw[..., None], x, rows[..., :16])
-    lenR = np.where(raw, 16, lenR)
-
-    # RLE rows (h == 7) and delta-RLE rows (h == 6)
-    for hh, src, keepmask in ((7, x, info["eq"]), (6, d, info["deq"])):
-        sel = h == hh
-        mask = _mask16(keepmask)
-        body = _compact16(src, ~keepmask)
-        cand = np.zeros_like(rows)
-        cand[..., 0] = mask & 255
-        cand[..., 1] = mask >> 8
-        cand[..., 2:] = body
-        rows = np.where(sel[..., None], cand, rows)
-        lenR = np.where(sel, 2 + (~keepmask).sum(axis=-1), lenR)
-
-    lenR = np.where(normal[..., None], lenR, 0)
-    return {
-        "headA": headA,
-        "lenA": lenA,
-        "minsec": minsec,
-        "lenB": lenB,
-        "rows": rows,
-        "lenR": lenR,
-    }
+from .emit import block_header_bytes, plane_sections
 
 
 def assemble(sections_len, writes, total):
@@ -184,15 +98,10 @@ def encode_full_blocks(data: np.ndarray, bpp: int, block_level: int = 2,
     lens = np.zeros((nb, per_block), dtype=np.int64)
 
     # block header nibbles
-    bhdr = np.zeros((nb, hdr_w), dtype=np.int32)
-    c_even = codes[:, 0::2]
-    c_odd = codes[:, 1::2]
-    bhdr[:, : c_odd.shape[1]] = c_even[:, : c_odd.shape[1]] | (c_odd << 4)
-    if bpp % 2:
-        bhdr[:, -1] = c_even[:, -1]
+    bhdr = np.ascontiguousarray(block_header_bytes(np, codes, bpp))
     lens[:, 0] = hdr_w
 
-    sec = build_plane_sections(x, info, codes, firsts)
+    sec = plane_sections(np, x, info, codes, firsts)
     planes_lens = np.concatenate(
         [
             sec["lenA"][..., None],

@@ -1,13 +1,19 @@
 import os
 
 # Tests run the JAX engine on a virtual 8-device CPU mesh; the driver benches
-# on real TPU separately.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# on real TPU separately. The environment force-registers the axon TPU plugin
+# via sitecustomize, so the env var alone is not enough — override via
+# jax.config before any backend initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
