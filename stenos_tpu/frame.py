@@ -76,7 +76,7 @@ def _guess_transposed_lz_ratio(shuffled, bpp, nbytes, glevel, use_delta):
 
 
 def compress_superblock(chunk: np.ndarray, bpp: int, level: int,
-                        dst_size: int, engine=None) -> bytes:
+                        dst_size: int, engine=None, precomputed=None) -> bytes:
     """Compress one superblock -> header(4B) + payload (or raise).
 
     Mirrors compress_generic_superblock (stenos.cpp:403-679),
@@ -113,7 +113,8 @@ def compress_superblock(chunk: np.ndarray, bpp: int, level: int,
     if bpp > 1:
         if level < 2:
             # pure block path (goto BLOCK)
-            r = _encode_blocks(chunk, bpp, dst_size - 4, None, engine)
+            r = _encode_blocks(chunk, bpp, dst_size - 4, None, engine,
+                               precomputed)
             if isinstance(r, int) or len(r) > sbytes:
                 return do_memcpy()
             return emit(METHOD_BLOCK, r)
@@ -150,7 +151,7 @@ def compress_superblock(chunk: np.ndarray, bpp: int, level: int,
         lz_ratio *= 1.0 + level / 12.0
 
     # block codec with target-ratio abort; budget = sbytes (stenos.cpp:546-547)
-    cblock = _encode_blocks(chunk, bpp, sbytes, lz_ratio, engine)
+    cblock = _encode_blocks(chunk, bpp, sbytes, lz_ratio, engine, precomputed)
     if isinstance(cblock, int) or len(cblock) > sbytes:
         if lz_ratio > 1.40:
             if lz_ratio == lz_transposed:
@@ -166,7 +167,10 @@ def compress_superblock(chunk: np.ndarray, bpp: int, level: int,
     return emit(METHOD_BLOCK_ZSTD, result)
 
 
-def _encode_blocks(chunk, bpp, budget, target_ratio, engine):
+def _encode_blocks(chunk, bpp, budget, target_ratio, engine, precomputed=None):
+    if precomputed is not None and engine is not None:
+        return engine.finish_block_stream(precomputed, chunk, bpp, budget,
+                                          target_ratio)
     if engine is not None:
         return engine.encode_block_stream(chunk, bpp, budget, target_ratio)
     return block_codec_encode(chunk, bpp, budget, 2, target_ratio)
@@ -193,12 +197,19 @@ def compress(data, bytesoftype: int, level: int = 1, dst_size=None,
     if nbytes == 0:
         return header
 
+    # Batched device pre-pass: one jit call encodes every full superblock's
+    # block stream; the per-superblock loop then only does method selection.
+    pre = None
+    if engine is not None and level != 0 and hasattr(engine, "encode_batch"):
+        pre = engine.encode_batch(data, bytesoftype, sb)
+
     out = [header]
     pos = len(header)
-    for off in range(0, nbytes, sb):
+    for i, off in enumerate(range(0, nbytes, sb)):
         chunk = data[off : off + sb]
-        blob = compress_superblock(chunk, bytesoftype, level, dst_size - pos,
-                                   engine)
+        blob = compress_superblock(
+            chunk, bytesoftype, level, dst_size - pos, engine,
+            precomputed=None if pre is None else pre[i])
         out.append(blob)
         pos += len(blob)
     return b"".join(out)

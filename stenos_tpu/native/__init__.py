@@ -1,0 +1,125 @@
+"""Loader for the native host runtime (builds on first use, cached).
+
+ctypes-based (pybind11 is not available in this image); every call releases
+the GIL so the frame layer can fan superblocks out over threads, mirroring
+the reference's tiny_pool fan-out at the host-runtime level while the block
+codec itself runs on the TPU.
+"""
+
+import ctypes
+import os
+import subprocess
+
+_SRC = os.path.join(os.path.dirname(__file__), "src", "stenos_native.cpp")
+
+
+class _Native:
+    def __init__(self, cdll):
+        self._lib = cdll
+        cdll.stn_lz4_guess_size.restype = ctypes.c_size_t
+        cdll.stn_lz4_guess_size.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
+        cdll.stn_block_decode.restype = ctypes.c_ssize_t
+        cdll.stn_block_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p]
+        for name in ("stn_shuffle", "stn_unshuffle"):
+            fn = getattr(cdll, name)
+            fn.restype = None
+            fn.argtypes = [ctypes.c_size_t, ctypes.c_size_t,
+                           ctypes.c_void_p, ctypes.c_void_p]
+        for name in ("stn_delta", "stn_delta_inv"):
+            fn = getattr(cdll, name)
+            fn.restype = None
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+        cdll.stn_parse_index.restype = ctypes.c_ssize_t
+        cdll.stn_parse_index.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+
+    def lz4_guess_size(self, data, accel: int) -> int:
+        data = bytes(data)
+        return self._lib.stn_lz4_guess_size(data, len(data), accel)
+
+    def parse_index(self, src, bpp: int, nbytes: int):
+        """Build the device-decode index for a block stream.
+
+        Returns (plane_off i32[P], plane_kind u8[P], plane_val u8[P],
+        patch u8[patch_len], tail_off, tail_len, consumed) or negative error.
+        P = nb*bpp. Offsets >= len(src) address the patch area.
+        """
+        import numpy as np
+
+        src = bytes(src)
+        block_size = 256 * bpp
+        nb = 1 if nbytes == block_size else nbytes // block_size
+        P = max(nb * bpp, 1)
+        plane_off = np.zeros(P, dtype=np.int32)
+        plane_kind = np.zeros(P, dtype=np.uint8)
+        plane_val = np.zeros(P, dtype=np.uint8)
+        patch_cap = nbytes + block_size
+        patch = np.empty(patch_cap, dtype=np.uint8)
+        patch_len = np.zeros(1, dtype=np.int64)
+        tail_info = np.zeros(2, dtype=np.int64)
+        scratch = np.empty(512 * bpp + 16, dtype=np.uint8)
+        as_p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        r = self._lib.stn_parse_index(
+            src, len(src), bpp, nbytes, as_p(plane_off), as_p(plane_kind),
+            as_p(plane_val), as_p(patch), patch_cap, as_p(patch_len),
+            as_p(tail_info), as_p(scratch))
+        if r < 0:
+            return int(r)
+        return (plane_off, plane_kind, plane_val,
+                patch[: int(patch_len[0])], int(tail_info[0]),
+                int(tail_info[1]), int(r))
+
+    def block_decode(self, src, bpp: int, nbytes: int):
+        """Decode a block stream -> numpy uint8 array or negative error."""
+        import numpy as np
+
+        src = bytes(src)
+        dst = np.empty(nbytes, dtype=np.uint8)
+        scratch = np.empty(256 * bpp, dtype=np.uint8)
+        r = self._lib.stn_block_decode(
+            src, len(src), bpp, nbytes,
+            dst.ctypes.data_as(ctypes.c_void_p),
+            scratch.ctypes.data_as(ctypes.c_void_p))
+        if r < 0:
+            return int(r)
+        return dst
+
+
+def _build(libpath: str) -> None:
+    os.makedirs(os.path.dirname(libpath), exist_ok=True)
+    tmp = libpath + ".tmp.so"
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-std=c++17", "-DNDEBUG", "-shared",
+         "-fPIC", "-fvisibility=hidden", _SRC, "-o", tmp],
+        check=True, capture_output=True)
+    os.replace(tmp, libpath)
+
+
+_cached = None
+
+
+def _load():
+    global _cached
+    if _cached is not None:
+        return _cached
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "stenos_tpu")
+    src_mtime = int(os.stat(_SRC).st_mtime)
+    libpath = os.path.join(cache, f"stenos_native_{src_mtime}.so")
+    if not os.path.exists(libpath):
+        _build(libpath)
+    _cached = _Native(ctypes.CDLL(libpath))
+    return _cached
+
+
+try:
+    lib = _load()
+except Exception:  # toolchain missing: pure-python fallbacks take over
+    lib = None

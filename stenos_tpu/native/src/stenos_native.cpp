@@ -1,0 +1,617 @@
+// stenos-tpu native host runtime.
+//
+// Clean-room implementations (from SPEC.md, written for this project) of the
+// host-side hot paths that surround the TPU compute pipeline:
+//   - LZ4-dry size estimator (method selection; SPEC.md §5)
+//   - block-codec stream decoder + parse-index builder (SPEC.md §3)
+//   - byte shuffle / 4-stream delta filters (SPEC.md §2)
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
+// All calls are GIL-free (ctypes releases the GIL), so the Python runtime can
+// fan superblocks out over a thread pool.
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+#define EXPORT extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+inline uint32_t read32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;  // little-endian hosts only (x86/ARM)
+}
+
+// ---------------------------------------------------------------- lz4 dry
+
+constexpr int kHashLog = 8;
+constexpr int kMinMatch = 4;
+constexpr int kMFLimit = 12;
+constexpr int kLastLiterals = 5;
+constexpr int kMinLength = 13;
+constexpr int kMaxDistance = 65535;
+constexpr int kRunMask = 15;
+constexpr int kMLMask = 15;
+constexpr unsigned kSkipTrigger = 6;
+
+inline uint32_t lz4_hash(uint32_t v) { return (v * 2654435761u) >> 24; }
+
+}  // namespace
+
+EXPORT size_t stn_lz4_guess_size(const uint8_t* d, size_t n, int accel) {
+    if (accel < 1) accel = 1;
+    size_t count = 0;
+    ptrdiff_t anchor = 0;
+    const ptrdiff_t nn = (ptrdiff_t)n;
+    const ptrdiff_t mflimit = nn - kMFLimit;
+    const ptrdiff_t matchlimit = nn - kLastLiterals;
+
+    if (nn >= kMinLength) {
+        uint32_t table[1 << kHashLog] = {0};
+        table[lz4_hash(read32(d))] = 0;
+        ptrdiff_t ip = 1;
+        uint32_t forwardH = lz4_hash(read32(d + 1));
+        for (;;) {
+            // --- find a match
+            ptrdiff_t match;
+            {
+                ptrdiff_t forwardIp = ip;
+                ptrdiff_t step = 1;
+                unsigned searchMatchNb = (unsigned)accel << kSkipTrigger;
+                for (;;) {
+                    uint32_t h = forwardH;
+                    ip = forwardIp;
+                    forwardIp += step;
+                    step = (ptrdiff_t)(searchMatchNb++ >> kSkipTrigger);
+                    if (forwardIp > mflimit) goto last_literals;
+                    match = table[h];
+                    forwardH = lz4_hash(read32(d + forwardIp));
+                    table[h] = (uint32_t)ip;
+                    if (!(match + kMaxDistance < ip ||
+                          read32(d + match) != read32(d + ip)))
+                        break;
+                }
+            }
+            // --- catch up
+            while (ip > anchor && match > 0 && d[ip - 1] == d[match - 1]) {
+                --ip;
+                --match;
+            }
+            // --- literals
+            {
+                ptrdiff_t lit = ip - anchor;
+                ++count;
+                if (lit >= kRunMask)
+                    count += (size_t)(1 + (lit - kRunMask) / 256);  // /256 quirk
+                count += (size_t)lit;
+            }
+            for (;;) {  // next_match
+                count += 2;
+                ptrdiff_t mc = 0;
+                {
+                    const ptrdiff_t p = ip + kMinMatch;
+                    const ptrdiff_t q = match + kMinMatch;
+                    while (p + mc < matchlimit && d[p + mc] == d[q + mc]) ++mc;
+                    ip = p + mc;
+                }
+                if (mc >= kMLMask) {
+                    ptrdiff_t mcode = mc - kMLMask;
+                    while (mcode >= 4 * 255) {
+                        count += 4;
+                        mcode -= 4 * 255;
+                    }
+                    count += (size_t)(1 + mcode / 255);
+                }
+                anchor = ip;
+                if (ip > mflimit) goto last_literals;
+                table[lz4_hash(read32(d + ip - 2))] = (uint32_t)(ip - 2);
+                uint32_t h = lz4_hash(read32(d + ip));
+                match = table[h];
+                table[h] = (uint32_t)ip;
+                if (match + kMaxDistance >= ip &&
+                    read32(d + match) == read32(d + ip)) {
+                    ++count;
+                    continue;
+                }
+                ++ip;
+                forwardH = lz4_hash(read32(d + ip));
+                break;
+            }
+        }
+    }
+last_literals: {
+    ptrdiff_t lastRun = nn - anchor;
+    if (lastRun >= kRunMask)
+        count += (size_t)(2 + (lastRun - kRunMask) / 256);
+    else
+        ++count;
+    count += (size_t)lastRun;
+}
+    return count;
+}
+
+// ------------------------------------------------------------- filters
+
+EXPORT void stn_shuffle(size_t bpp, size_t n, const uint8_t* src, uint8_t* dst) {
+    const size_t ne = n / bpp;
+    for (size_t p = 0; p < bpp; ++p)
+        for (size_t e = 0; e < ne; ++e) dst[p * ne + e] = src[e * bpp + p];
+    std::memcpy(dst + ne * bpp, src + ne * bpp, n - ne * bpp);
+}
+
+EXPORT void stn_unshuffle(size_t bpp, size_t n, const uint8_t* src, uint8_t* dst) {
+    const size_t ne = n / bpp;
+    for (size_t p = 0; p < bpp; ++p)
+        for (size_t e = 0; e < ne; ++e) dst[e * bpp + p] = src[p * ne + e];
+    std::memcpy(dst + ne * bpp, src + ne * bpp, n - ne * bpp);
+}
+
+EXPORT void stn_delta(const uint8_t* src, uint8_t* dst, size_t n) {
+    if (!n) return;
+    if (n <= 2048) {
+        dst[0] = src[0];
+        for (size_t i = 1; i < n; ++i) dst[i] = (uint8_t)(src[i] - src[i - 1]);
+        return;
+    }
+    const size_t q = n / 4;
+    for (int k = 0; k < 4; ++k) {
+        const uint8_t* s = src + (size_t)k * q;
+        uint8_t* o = dst + (size_t)k * q;
+        o[0] = s[0];
+        for (size_t i = 1; i < q; ++i) o[i] = (uint8_t)(s[i] - s[i - 1]);
+    }
+    for (size_t i = 4 * q; i < n; ++i) dst[i] = (uint8_t)(src[i] - src[i - 1]);
+}
+
+EXPORT void stn_delta_inv(const uint8_t* src, uint8_t* dst, size_t n) {
+    if (!n) return;
+    if (n <= 2048) {
+        uint8_t acc = 0;
+        for (size_t i = 0; i < n; ++i) dst[i] = acc = (uint8_t)(acc + src[i]);
+        return;
+    }
+    const size_t q = n / 4;
+    for (int k = 0; k < 4; ++k) {
+        const uint8_t* s = src + (size_t)k * q;
+        uint8_t* o = dst + (size_t)k * q;
+        uint8_t acc = 0;
+        for (size_t i = 0; i < q; ++i) o[i] = acc = (uint8_t)(acc + s[i]);
+    }
+    uint8_t acc = n > 4 * q ? dst[4 * q - 1] : 0;
+    for (size_t i = 4 * q; i < n; ++i) dst[i] = acc = (uint8_t)(acc + src[i]);
+}
+
+// --------------------------------------------------- block stream decode
+
+namespace {
+
+constexpr int ERR_SRC = -2;
+constexpr int ERR_INPUT = -4;
+
+// decode_rle per SPEC §3.2: returns bytes consumed after the 2-byte mask, or
+// -1 on overflow. out stride 1.
+inline ptrdiff_t rle_row(const uint8_t* src, ptrdiff_t avail, uint8_t* out,
+                         uint8_t prev) {
+    if (avail < 2) return -1;
+    const uint32_t mask = (uint32_t)src[0] | ((uint32_t)src[1] << 8);
+    ptrdiff_t pos = 2;
+    for (int i = 0; i < 16; ++i) {
+        if ((mask >> i) & 1u) {
+            out[i] = prev;
+        } else {
+            if (pos >= avail) return -1;
+            out[i] = src[pos++];
+        }
+        prev = out[i];
+    }
+    return pos;
+}
+
+inline void unpack_row(const uint8_t* src, int bits, uint8_t* out) {
+    // two groups of 8 values, LE bit stream of `bits` bytes per group
+    for (int g = 0; g < 2; ++g) {
+        uint64_t word = 0;
+        for (int k = 0; k < bits; ++k)
+            word |= (uint64_t)src[g * bits + k] << (8 * k);
+        const uint64_t m = (1ull << bits) - 1;
+        for (int j = 0; j < 8; ++j)
+            out[g * 8 + j] = (uint8_t)((word >> (bits * j)) & m);
+    }
+}
+
+// Decode one NORMAL/NORMAL_RLE plane (lines rows) flat into out[16*lines].
+// Returns consumed bytes or -1.
+ptrdiff_t decode_plane(const uint8_t* src, ptrdiff_t avail, int lines,
+                       bool rle_mins, uint8_t* out) {
+    const int hdr_len = lines / 2 + (lines & 1);
+    if (hdr_len > avail) return -1;
+    uint8_t headers[16];
+    for (int i = 0; i < hdr_len; ++i) {
+        headers[2 * i] = src[i] & 15;
+        if (2 * i + 1 < 16) headers[2 * i + 1] = src[i] >> 4;
+    }
+    ptrdiff_t pos = hdr_len;
+    uint8_t mins[16] = {0};
+    if (rle_mins) {
+        ptrdiff_t r = rle_row(src + pos, avail - pos, mins, 0);
+        if (r < 0) return -1;
+        pos += r;
+    } else {
+        for (int i = 0; i < lines; ++i) {
+            const uint8_t h = headers[i];
+            if (h != 6 && h != 7 && h != 15) {
+                if (pos >= avail) return -1;
+                mins[i] = src[pos++];
+            }
+        }
+    }
+    static const int kBits[16] = {0, 1, 2, 3, 4, 5, 6, 8,
+                                  0, 1, 2, 3, 4, 5, 6, 8};
+    for (int r = 0; r < lines; ++r) {
+        const uint8_t h = headers[r];
+        uint8_t* dst = out + 16 * r;
+        const uint8_t prev_last = r ? dst[-1] : 0;
+        if (h == 6) {
+            uint8_t tmp[16];
+            ptrdiff_t c = rle_row(src + pos, avail - pos, tmp, 0);
+            if (c < 0) return -1;
+            pos += c;
+            uint8_t acc = prev_last;
+            for (int i = 0; i < 16; ++i) dst[i] = acc = (uint8_t)(acc + tmp[i]);
+        } else if (h == 7) {
+            ptrdiff_t c = rle_row(src + pos, avail - pos, dst, prev_last);
+            if (c < 0) return -1;
+            pos += c;
+        } else if (h == 15) {
+            if (pos + 16 > avail) return -1;
+            std::memcpy(dst, src + pos, 16);
+            pos += 16;
+        } else {
+            const int bits = kBits[h];
+            const uint8_t mn = mins[r];
+            uint8_t vals[16] = {0};
+            if (bits) {
+                if (pos + 2 * bits > avail) return -1;
+                unpack_row(src + pos, bits, vals);
+                pos += 2 * bits;
+            }
+            if (h < 8) {
+                for (int i = 0; i < 16; ++i) dst[i] = (uint8_t)(vals[i] + mn);
+            } else {
+                uint8_t acc = prev_last;
+                for (int i = 0; i < 16; ++i)
+                    dst[i] = acc = (uint8_t)(acc + vals[i] + mn);
+            }
+        }
+    }
+    return pos;
+}
+
+// intra-block LZ decode (SPEC §3.5); returns consumed or -1.
+ptrdiff_t lz_block(const uint8_t* src, ptrdiff_t avail, size_t bpp,
+                   uint8_t* dst) {
+    size_t B;
+    if (bpp % 8 == 0)
+        B = 8;
+    else if (bpp % 4 == 0 || bpp <= 2)
+        B = 4;
+    else
+        return -1;
+    if (bpp > 512) return -1;
+    const size_t cnt = (256 * bpp) / B;
+    ptrdiff_t pos = 0;
+    size_t w = 0;
+    for (size_t i = 0; i < cnt; i += 8) {
+        if (pos + 2 > avail) return -1;
+        const uint8_t anchor = src[pos++];
+        if (anchor == 0) {
+            if (pos + (ptrdiff_t)(8 * B) > avail) return -1;
+            std::memcpy(dst + w, src + pos, 8 * B);
+            pos += 8 * B;
+            w += 8 * B;
+            continue;
+        }
+        for (int j = 0; j < 8; ++j) {
+            if ((anchor >> j) & 1) {
+                uint32_t off = src[pos] & 127u;
+                const bool big = src[pos] > 127u;
+                ++pos;
+                if (big) {
+                    if (pos >= avail) return -1;
+                    off |= (uint32_t)src[pos++] << 7;
+                }
+                if ((size_t)off * B > w) return -1;
+                std::memcpy(dst + w, dst + w - off * B, B);
+                w += B;
+            } else {
+                if (pos + (ptrdiff_t)B > avail) return -1;
+                std::memcpy(dst + w, src + pos, B);
+                pos += B;
+                w += B;
+            }
+        }
+    }
+    return pos;
+}
+
+}  // namespace
+
+// Decode a block-codec stream (method 1/5 payload). Returns consumed bytes
+// or a negative error.
+EXPORT ptrdiff_t stn_block_decode(const uint8_t* src, size_t size, size_t bpp,
+                                  size_t nbytes, uint8_t* dst,
+                                  uint8_t* scratch /* >= 256*bpp */) {
+    if (nbytes == 0 || size == 0) return 0;
+    const ptrdiff_t n = (ptrdiff_t)size;
+    const size_t hdr_w = (bpp + 1) / 2;
+    const size_t block_size = 256 * bpp;
+    const size_t nb = nbytes == block_size ? 1 : nbytes / block_size;
+    ptrdiff_t pos = 0;
+
+    for (size_t b = 0; b < nb; ++b) {
+        uint8_t* out = dst + b * block_size;
+        if (pos >= n) return ERR_SRC;
+        const uint8_t marker = src[pos];
+        if (marker == 252) {  // BLOCK_COPY
+            ++pos;
+            if (pos + (ptrdiff_t)block_size > n) return ERR_SRC;
+            std::memcpy(out, src + pos, block_size);
+            pos += block_size;
+            continue;
+        }
+        if (marker == 253) {  // BLOCK_LZ
+            ++pos;
+            ptrdiff_t c = lz_block(src + pos, n - pos, bpp, out);
+            if (c < 0) return ERR_INPUT;
+            pos += c;
+            continue;
+        }
+        if (pos + (ptrdiff_t)hdr_w >= n) return ERR_SRC;
+        const uint8_t* codes = src + pos;
+        pos += hdr_w;
+        for (size_t p = 0; p < bpp; ++p) {
+            const int code = (codes[p >> 1] >> (4 * (p & 1))) & 15;
+            uint8_t* plane = scratch + p * 256;
+            if (code == 0) {  // ALL_SAME
+                if (pos >= n) return ERR_SRC;
+                std::memset(plane, src[pos++], 256);
+            } else if (code == 1) {  // ALL_RAW
+                if (pos + 256 > n) return ERR_SRC;
+                std::memcpy(plane, src + pos, 256);
+                pos += 256;
+            } else if (code == 2 || code == 3) {
+                ptrdiff_t c = decode_plane(src + pos, n - pos, 16, code == 3,
+                                           plane);
+                if (c < 0) return ERR_SRC;
+                pos += c;
+            } else {
+                return ERR_INPUT;
+            }
+        }
+        // unshuffle block: out[e*bpp + p] = plane[p][e]
+        for (size_t p = 0; p < bpp; ++p) {
+            const uint8_t* plane = scratch + p * 256;
+            for (size_t e = 0; e < 256; ++e) out[e * bpp + p] = plane[e];
+        }
+    }
+
+    const size_t rem = nbytes - nb * block_size;
+    if (rem) {
+        if (pos == n) return ERR_SRC;
+        if (src[pos++] != 254) return ERR_INPUT;  // BLOCK_PARTIAL
+        uint8_t* out = dst + nb * block_size;
+        const size_t line_size = 16 * bpp;
+        const size_t lines = rem / line_size;
+        if (lines) {
+            if (pos + (ptrdiff_t)hdr_w >= n) return ERR_SRC;
+            const uint8_t* codes = src + pos;
+            pos += hdr_w;
+            for (size_t p = 0; p < bpp; ++p) {
+                const int code = (codes[p >> 1] >> (4 * (p & 1))) & 15;
+                uint8_t* plane = scratch + p * 256;
+                if (code == 0) {
+                    if (pos >= n) return ERR_SRC;
+                    std::memset(plane, src[pos++], 16 * lines);
+                } else if (code == 2) {
+                    ptrdiff_t c = decode_plane(src + pos, n - pos, (int)lines,
+                                               false, plane);
+                    if (c < 0) return ERR_SRC;
+                    pos += c;
+                } else {
+                    return ERR_INPUT;
+                }
+            }
+            for (size_t p = 0; p < bpp; ++p) {
+                const uint8_t* plane = scratch + p * 256;
+                for (size_t e = 0; e < 16 * lines; ++e)
+                    out[e * bpp + p] = plane[e];
+            }
+        }
+        const size_t tail = rem - lines * line_size;
+        if (tail) {
+            if (pos + (ptrdiff_t)tail > n) return ERR_SRC;
+            std::memcpy(out + lines * line_size, src + pos, tail);
+            pos += tail;
+        }
+    }
+    return pos;
+}
+
+// ----------------------------------------------------- parse index (decode)
+//
+// Walk a block-codec stream touching only headers/masks and emit a per-plane
+// index for the fully-parallel device decoder (engine_jax.decode):
+//   plane_off  : offset of the plane's data (hdr8 for NORMAL*, raw bytes for
+//                RAW; for LZ/COPY blocks, offset into the patch area appended
+//                after the stream, holding host-decoded SHUFFLED planes)
+//   plane_kind : 0=NORMAL 1=NORMAL_RLE 2=ALL_SAME 3=RAW-256-at-off
+//   plane_val  : fill byte for ALL_SAME
+// LZ/COPY blocks and the partial tail are decoded on the host into
+// `patch` (they are rare / tiny); patch bytes are addressed as
+// offset >= size. Returns consumed bytes, or a negative error.
+//
+// tail_info[0] = patch offset of decoded partial tail (or -1), tail_info[1] =
+// tail length. patch_len[0] = bytes appended to patch.
+
+namespace {
+
+// Size-only walk of one NORMAL/NORMAL_RLE plane; returns consumed or -1.
+ptrdiff_t skip_plane(const uint8_t* src, ptrdiff_t avail, bool rle_mins) {
+    if (avail < 8) return -1;
+    static const int kSize[16] = {0, 2, 4, 6, 8, 10, 12, -1,
+                                  0, 2, 4, 6, 8, 10, 12, 16};
+    ptrdiff_t pos = 8;
+    int n_min = 0;
+    uint8_t headers[16];
+    for (int i = 0; i < 8; ++i) {
+        headers[2 * i] = src[i] & 15;
+        headers[2 * i + 1] = src[i] >> 4;
+    }
+    if (rle_mins) {
+        if (pos + 2 > avail) return -1;
+        const uint32_t mask = (uint32_t)src[pos] | ((uint32_t)src[pos + 1] << 8);
+        pos += 2 + __builtin_popcount(~mask & 0xFFFFu);
+    } else {
+        for (int i = 0; i < 16; ++i) {
+            const uint8_t h = headers[i];
+            n_min += (h != 6 && h != 7 && h != 15);
+        }
+        pos += n_min;
+    }
+    for (int r = 0; r < 16; ++r) {
+        const uint8_t h = headers[r];
+        if (h == 6 || h == 7) {
+            if (pos + 2 > avail) return -1;
+            const uint32_t mask =
+                (uint32_t)src[pos] | ((uint32_t)src[pos + 1] << 8);
+            pos += 2 + __builtin_popcount(~mask & 0xFFFFu);
+        } else {
+            pos += kSize[h];
+        }
+        if (pos > avail) return -1;
+    }
+    return pos;
+}
+
+}  // namespace
+
+EXPORT ptrdiff_t stn_parse_index(const uint8_t* src, size_t size, size_t bpp,
+                                 size_t nbytes, int32_t* plane_off,
+                                 uint8_t* plane_kind, uint8_t* plane_val,
+                                 uint8_t* patch, size_t patch_cap,
+                                 int64_t* patch_len, int64_t* tail_info,
+                                 uint8_t* scratch /* >= 512*bpp */) {
+    const ptrdiff_t n = (ptrdiff_t)size;
+    const size_t hdr_w = (bpp + 1) / 2;
+    const size_t block_size = 256 * bpp;
+    const size_t nb = nbytes == block_size ? 1 : nbytes / block_size;
+    ptrdiff_t pos = 0;
+    size_t patch_w = 0;
+    tail_info[0] = -1;
+    tail_info[1] = 0;
+
+    for (size_t b = 0; b < nb; ++b) {
+        if (pos >= n) return ERR_SRC;
+        const uint8_t marker = src[pos];
+        int32_t* po = plane_off + b * bpp;
+        uint8_t* pk = plane_kind + b * bpp;
+        uint8_t* pv = plane_val + b * bpp;
+        if (marker == 252 || marker == 253) {  // COPY / LZ: host-decode+shuffle
+            ++pos;
+            uint8_t* dec = scratch;  // interleaved block
+            if (marker == 252) {
+                if (pos + (ptrdiff_t)block_size > n) return ERR_SRC;
+                std::memcpy(dec, src + pos, block_size);
+                pos += block_size;
+            } else {
+                ptrdiff_t c = lz_block(src + pos, n - pos, bpp, dec);
+                if (c < 0) return ERR_INPUT;
+                pos += c;
+            }
+            if (patch_w + block_size > patch_cap) return ERR_INPUT;
+            // shuffle into per-plane layout in the patch area
+            for (size_t p = 0; p < bpp; ++p) {
+                uint8_t* dst = patch + patch_w + p * 256;
+                for (size_t e = 0; e < 256; ++e) dst[e] = dec[e * bpp + p];
+                po[p] = (int32_t)(size + patch_w + p * 256);
+                pk[p] = 3;
+                pv[p] = 0;
+            }
+            patch_w += block_size;
+            continue;
+        }
+        if (pos + (ptrdiff_t)hdr_w >= n) return ERR_SRC;
+        const uint8_t* codes = src + pos;
+        pos += hdr_w;
+        for (size_t p = 0; p < bpp; ++p) {
+            const int code = (codes[p >> 1] >> (4 * (p & 1))) & 15;
+            po[p] = (int32_t)pos;
+            pv[p] = 0;
+            if (code == 0) {
+                if (pos >= n) return ERR_SRC;
+                pk[p] = 2;
+                pv[p] = src[pos++];
+            } else if (code == 1) {
+                if (pos + 256 > n) return ERR_SRC;
+                pk[p] = 3;
+                pos += 256;
+            } else if (code == 2 || code == 3) {
+                pk[p] = (uint8_t)(code == 2 ? 0 : 1);
+                ptrdiff_t c = skip_plane(src + pos, n - pos, code == 3);
+                if (c < 0) return ERR_SRC;
+                pos += c;
+            } else {
+                return ERR_INPUT;
+            }
+        }
+    }
+
+    const size_t rem = nbytes - nb * block_size;
+    if (rem) {
+        if (pos == n) return ERR_SRC;
+        if (src[pos++] != 254) return ERR_INPUT;
+        // decode the partial tail on the host into the patch area
+        uint8_t* out = scratch;  // interleaved partial bytes
+        const size_t line_size = 16 * bpp;
+        const size_t lines = rem / line_size;
+        uint8_t* planes = scratch + 256 * bpp;
+        if (lines) {
+            if (pos + (ptrdiff_t)hdr_w >= n) return ERR_SRC;
+            const uint8_t* codes = src + pos;
+            pos += hdr_w;
+            for (size_t p = 0; p < bpp; ++p) {
+                const int code = (codes[p >> 1] >> (4 * (p & 1))) & 15;
+                uint8_t* plane = planes + p * 256;
+                if (code == 0) {
+                    if (pos >= n) return ERR_SRC;
+                    std::memset(plane, src[pos++], 16 * lines);
+                } else if (code == 2) {
+                    ptrdiff_t c = decode_plane(src + pos, n - pos, (int)lines,
+                                               false, plane);
+                    if (c < 0) return ERR_SRC;
+                    pos += c;
+                } else {
+                    return ERR_INPUT;
+                }
+            }
+            for (size_t p = 0; p < bpp; ++p)
+                for (size_t e = 0; e < 16 * lines; ++e)
+                    out[e * bpp + p] = planes[p * 256 + e];
+        }
+        const size_t tail = rem - lines * line_size;
+        if (tail) {
+            if (pos + (ptrdiff_t)tail > n) return ERR_SRC;
+            std::memcpy(out + lines * line_size, src + pos, tail);
+            pos += tail;
+        }
+        if (patch_w + rem > patch_cap) return ERR_INPUT;
+        std::memcpy(patch + patch_w, out, rem);
+        tail_info[0] = (int64_t)(size + patch_w);
+        tail_info[1] = (int64_t)rem;
+        patch_w += rem;
+    }
+    patch_len[0] = (int64_t)patch_w;
+    return pos;
+}
