@@ -8,9 +8,11 @@ equivalent) and device/sharded engines under `stenos_tpu.engine_jax` /
 """
 
 from .constants import compress_bound, super_block_size
+from .context import Context
 from .frame import (
     StenosError,
     compress,
+    compress_generic,
     decompress,
     get_info,
 )

@@ -15,6 +15,11 @@ def compact16(xp, rows, keep):
     position of kept element c is its exclusive prefix count; scatter via
     one-hot matmul (16x16, cheap and TPU-friendly).
     """
+    import numpy as _np
+
+    if xp is _np:  # host fast path: stable argsort compaction
+        order = _np.argsort(~keep.astype(bool), axis=-1, kind="stable")
+        return _np.take_along_axis(rows, order, axis=-1)
     k = keep.astype(xp.int32)
     pos = xp.cumsum(k, axis=-1) - k  # target slot for kept elements
     # one-hot: out[..., j] = sum_c rows[..., c] * (keep[c] & pos[c]==j)

@@ -25,8 +25,7 @@ from .codec.lz_np import lz_compress_block
 from .codec.encode_np import encode_partial
 
 
-@partial(jax.jit, static_argnames=("bpp", "block_level"))
-def encode_superblocks_jit(data, bpp: int, block_level: int):
+def encode_superblocks_body(data, bpp: int, block_level: int):
     """Encode the full blocks of a batch of superblocks on device.
 
     data: (n_sb, sbytes) uint8 with sbytes % (256*bpp) == 0.
@@ -100,6 +99,11 @@ def encode_superblocks_jit(data, bpp: int, block_level: int):
     out = scatter(out, plane_offs[..., 2:], sec["rows"], sec["lenR"], 18)
 
     return out, total, block_sizes, full_sizes
+
+
+encode_superblocks_jit = partial(
+    jax.jit, static_argnames=("bpp", "block_level")
+)(encode_superblocks_body)
 
 
 class JaxEngine:

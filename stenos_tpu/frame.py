@@ -167,13 +167,172 @@ def compress_superblock(chunk: np.ndarray, bpp: int, level: int,
     return emit(METHOD_BLOCK_ZSTD, result)
 
 
-def _encode_blocks(chunk, bpp, budget, target_ratio, engine, precomputed=None):
+def _encode_blocks(chunk, bpp, budget, target_ratio, engine, precomputed=None,
+                   block_level=2):
     if precomputed is not None and engine is not None:
         return engine.finish_block_stream(precomputed, chunk, bpp, budget,
-                                          target_ratio)
+                                          target_ratio, block_level)
     if engine is not None:
-        return engine.encode_block_stream(chunk, bpp, budget, target_ratio)
-    return block_codec_encode(chunk, bpp, budget, 2, target_ratio)
+        return engine.encode_block_stream(chunk, bpp, budget, target_ratio,
+                                          block_level)
+    return block_codec_encode(chunk, bpp, budget, block_level, target_ratio)
+
+
+def compress_superblock_timed(ctx, chunk: np.ndarray, bpp: int,
+                              dst_size: int, engine=None) -> bytes:
+    """Time-limited superblock compression (stenos.cpp:463-679 with the
+    chunk-granular controller from context.py)."""
+    from .context import clevel_for_remaining, find_block_level
+
+    t = ctx.t
+    sbytes = len(chunk)
+    if dst_size < 4:
+        raise StenosError(ERROR_DST_OVERFLOW)
+
+    def emit(method, payload):
+        if 4 + len(payload) > dst_size:
+            raise StenosError(ERROR_DST_OVERFLOW)
+        return bytes([method]) + len(payload).to_bytes(3, "little") + payload
+
+    def do_memcpy():
+        if dst_size < sbytes + 4:
+            raise StenosError(ERROR_DST_OVERFLOW)
+        return emit(METHOD_COPY, chunk.tobytes())
+
+    def do_zstd(src_bytes, method):
+        zl = clevel_for_remaining(t, t.processed_bytes)
+        if zl <= 0:
+            return do_memcpy()
+        r = zstd_host.compress(src_bytes, dst_size - 4, zl)
+        if isinstance(r, str) or len(r) > sbytes:
+            return do_memcpy()
+        return emit(method, r)
+
+    if sbytes == 0 or t.finish_memcpy:
+        return do_memcpy()
+    if sbytes < 128:
+        return do_zstd(chunk.tobytes(), METHOD_ZSTD)
+
+    target_speed = t.requested_speed()
+    # estimator level from requested speed (stenos.cpp:477-490)
+    if target_speed < 10e6:
+        glevel = 9
+    elif target_speed < 40e6:
+        glevel = 8
+    elif target_speed < 100e6:
+        glevel = 7
+    elif target_speed < 200e6:
+        glevel = 6
+    elif target_speed < 400e6:
+        glevel = 5
+    else:
+        glevel = 2
+
+    blevel = find_block_level(t, 0)
+    if blevel == -2:
+        t.finish_memcpy = True
+        return do_memcpy()
+    if blevel == -1:
+        return do_memcpy()
+
+    lz_ratio = 1.1
+    if target_speed < 600e6 and sbytes >= bpp * 256:
+        lz_ratio = lz4_guess_ratio(chunk[: sbytes // 16].tobytes(), 10 - glevel)
+
+    if target_speed > 1.5e9 and bpp > 1:
+        r = _encode_blocks(chunk, bpp, dst_size - 4, None, engine,
+                           block_level=blevel)
+        if isinstance(r, int) or len(r) > sbytes:
+            return do_memcpy()
+        return emit(METHOD_BLOCK, r)
+
+    lz_transposed = lz_transposed_delta = 0.0
+    shuffled = None
+    if bpp > 1:
+        shuffled = shuffle_np(chunk, bpp)
+        if target_speed < 600e6 and sbytes >= bpp * 256:
+            lz_transposed = _guess_transposed_lz_ratio(
+                shuffled, bpp, sbytes, glevel, False)
+            lz_ratio = max(lz_ratio, lz_transposed)
+            lz_transposed_delta = _guess_transposed_lz_ratio(
+                shuffled, bpp, sbytes, glevel, True) * 1.1
+            lz_ratio = max(lz_ratio, lz_transposed_delta)
+            if target_speed < 2e6:
+                factor = 1.0 + 9 / 12.0
+                lz_transposed *= factor
+                lz_transposed_delta *= factor
+                lz_ratio *= factor
+    elif target_speed < 2e6:
+        lz_ratio *= 1.0 + 9 / 12.0
+
+    import time as _time
+
+    tick = t.elapsed()
+    cblock = _encode_blocks(chunk, bpp, sbytes, lz_ratio, engine,
+                            block_level=blevel)
+    if isinstance(cblock, int) or len(cblock) > sbytes:
+        if lz_ratio > 1.40:
+            if lz_ratio == lz_transposed:
+                return do_zstd(shuffled.tobytes(), METHOD_TRANSPOSED_ZSTD)
+            if lz_ratio == lz_transposed_delta:
+                return do_zstd(delta_np(shuffled).tobytes(),
+                               METHOD_TRANSPOSED_DELTA_ZSTD)
+        return do_zstd(chunk.tobytes(), METHOD_ZSTD)
+
+    # zstd level from measured block speed vs target (stenos.cpp:560-580)
+    el = t.elapsed()
+    block_el = max(el - tick, 1)
+    processed = t.processed_bytes + len(cblock)
+    global_speed = processed / (el * 1e-9)
+    current_speed = sbytes / (block_el * 1e-9)
+    zl = 0
+    if global_speed > target_speed and current_speed > target_speed:
+        zstd_rate = (current_speed * target_speed) / (
+            current_speed - target_speed)
+        zl = clevel_for_remaining(t, processed, target_rate=zstd_rate, shift=1)
+    if zl < 1:
+        if 4 + len(cblock) > dst_size:
+            raise StenosError(ERROR_DST_OVERFLOW)
+        return emit(METHOD_BLOCK, cblock)
+    result = zstd_host.compress(cblock, dst_size - 4, zl)
+    if isinstance(result, str) or len(result) > len(cblock):
+        return emit(METHOD_BLOCK, cblock)
+    return emit(METHOD_BLOCK_ZSTD, result)
+
+
+def compress_generic(ctx, data, bytesoftype: int, dst_size=None) -> bytes:
+    """stenos_compress_generic equivalent driven by a Context (incl.
+    time-limited mode)."""
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        data = np.frombuffer(bytes(data), dtype=np.uint8)
+    nbytes = len(data)
+    if bytesoftype == 0 or bytesoftype >= MAX_BYTESOFTYPE:
+        raise StenosError(ERROR_INVALID_BYTESOFTYPE)
+    if not ctx.t.nanoseconds:
+        return compress(data, bytesoftype, ctx.level, dst_size,
+                        engine=ctx.engine, custom_shift=ctx.blocksize_shift)
+    if dst_size is None:
+        dst_size = compress_bound(nbytes)
+
+    sb, shift = ctx.prepare_superblock(bytesoftype, nbytes)
+    ctx.t.start(nbytes)
+    header = bytes([shift]) + nbytes.to_bytes(7, "little")
+    if shift == 255:
+        header += sb.to_bytes(4, "little")
+    if len(header) > dst_size:
+        raise StenosError(ERROR_DST_OVERFLOW)
+    if nbytes == 0:
+        return header
+    out = [header]
+    pos = len(header)
+    for off in range(0, nbytes, sb):
+        chunk = data[off : off + sb]
+        blob = compress_superblock_timed(ctx, chunk, bytesoftype,
+                                         dst_size - pos, ctx.engine)
+        ctx.t.processed_bytes += len(chunk)
+        out.append(blob)
+        pos += len(blob)
+    return b"".join(out)
 
 
 def compress(data, bytesoftype: int, level: int = 1, dst_size=None,

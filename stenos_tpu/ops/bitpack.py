@@ -43,7 +43,17 @@ def pack16_any(xp, values, bits):
     """Pack (..., 16) values at per-row widths `bits` (...,) into (..., 12)
     padded byte buffers (max payload = 2*6). Rows with bits==0 or 8 produce
     zeros (callers handle 0/raw separately)."""
+    import numpy as _np
+
     out = xp.zeros(values.shape[:-1] + (12,), dtype=xp.int32)
+    if xp is _np:  # host fast path: only pack rows of each present width
+        for b in _np.unique(bits):
+            b = int(b)
+            if not 1 <= b <= 6:
+                continue
+            sel = bits == b
+            out[sel, : 2 * b] = pack16(_np, values[sel], b)
+        return out
     for b in range(1, 7):
         packed = pack16(xp, values, b)
         pad = xp.zeros(values.shape[:-1] + (12 - 2 * b,), dtype=xp.int32)

@@ -1,0 +1,13 @@
+from .sharding import (
+    make_mesh,
+    encode_superblocks_sharded,
+    decode_blocks_sharded,
+    sharded_compress_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "encode_superblocks_sharded",
+    "decode_blocks_sharded",
+    "sharded_compress_step",
+]

@@ -1,0 +1,56 @@
+"""Time-limited compression (stenos_set_max_nanoseconds semantics)."""
+
+import time
+
+import numpy as np
+import pytest
+
+import stenos_tpu as st
+from conftest import gen_elements
+
+
+def test_time_limited_roundtrip_and_budget(rng):
+    data = gen_elements(rng, 4, 2_000_000, "sorted")
+    budget_ns = 300_000_000  # 300 ms
+    ctx = st.Context(max_nanoseconds=budget_ns)
+    t0 = time.perf_counter_ns()
+    frame = st.compress_generic(ctx, data, 4)
+    elapsed = time.perf_counter_ns() - t0
+    assert st.decompress(frame, 4).tobytes() == data
+    # overshoot bounded by ~one chunk of work past the budget (the controller
+    # can't preempt mid-chunk; the reference has the same granularity per
+    # block, stenos.h:152-154)
+    assert elapsed < budget_ns * 2 + 500_000_000, elapsed
+
+
+def test_tiny_budget_degrades_to_memcpy(rng):
+    data = gen_elements(rng, 4, 2_000_000, "random")
+    ctx = st.Context(max_nanoseconds=1)  # impossible budget
+    frame = st.compress_generic(ctx, data, 4)
+    assert st.decompress(frame, 4).tobytes() == data
+    # nearly everything should be COPY superblocks: size ~ input
+    assert len(frame) >= len(data)
+
+
+def test_generous_budget_compresses(rng):
+    data = gen_elements(rng, 4, 500_000, "sorted")
+    ctx = st.Context(max_nanoseconds=10_000_000_000)  # 10 s: plenty
+    frame = st.compress_generic(ctx, data, 4)
+    assert st.decompress(frame, 4).tobytes() == data
+    assert len(frame) < len(data) // 2
+
+
+def test_context_api(rng):
+    ctx = st.Context()
+    ctx.set_level(99)
+    assert ctx.level == 9
+    ctx.set_threads(0)
+    assert ctx.threads == 1
+    ctx.set_max_nanoseconds(123)
+    assert ctx.t.nanoseconds == 123
+    ctx.reset()
+    assert ctx.level == 1 and ctx.t.nanoseconds == 0
+    data = gen_elements(rng, 2, 10000, "sorted")
+    ctx.set_level(3)
+    frame = st.compress_generic(ctx, data, 2)
+    assert frame == st.compress(data, 2, 3)
