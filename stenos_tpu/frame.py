@@ -344,10 +344,11 @@ def compress(data, bytesoftype: int, level: int = 1, dst_size=None,
     level = min(9, max(0, level))
     if bytesoftype == 0 or bytesoftype >= MAX_BYTESOFTYPE:
         raise StenosError(ERROR_INVALID_BYTESOFTYPE)
-    if dst_size is None:
-        dst_size = compress_bound(nbytes)
-
     sb, shift = _superblock_params(bytesoftype, nbytes, level, custom_shift)
+    if dst_size is None:
+        # compress_bound assumes >= 65792-byte superblocks; small custom
+        # blocksizes need the per-superblock overhead accounted exactly
+        dst_size = 12 + max(1, -(-nbytes // sb)) * 4 + nbytes
     header = bytes([shift]) + nbytes.to_bytes(7, "little")
     if shift == 255:
         header += sb.to_bytes(4, "little")
