@@ -17,6 +17,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 from .codec.analyze import analyze_planes, plane_kinds
 from .codec.emit import block_header_bytes, plane_sections
@@ -34,11 +35,20 @@ def encode_superblocks_body(data, bpp: int, block_level: int):
       total       (n_sb,) stream length
       block_sizes (n_sb, nb) compressed size per block (for abort checks)
       full_sizes  (n_sb, nb) sum of plane sizes (for LZ candidacy)
+
+    Emission strategy: lay every section out at its padded slot with a valid
+    mask, then ONE order-preserving log-shift compaction per superblock
+    (ops/compact.py) produces the byte-exact stream. No scatters/gathers —
+    XLA's element scatter lowers to effectively-serial TPU code (~0.05 GB/s
+    measured); the masked-roll compaction is pure VPU work.
     """
+    from .ops.compact import compact
+
     n_sb, sbytes = data.shape
     block_size = 256 * bpp
     nb = sbytes // block_size
     hdr_w = (bpp + 1) // 2
+    hdr_pad = 8 if hdr_w <= 8 else ((hdr_w + 7) // 8) * 8
 
     el = data.reshape(n_sb, nb, 256, bpp).astype(jnp.int32)
     x = el.transpose(0, 1, 3, 2).reshape(n_sb, nb, bpp, 16, 16)
@@ -51,53 +61,52 @@ def encode_superblocks_body(data, bpp: int, block_level: int):
     sec = plane_sections(jnp, x, info, codes, firsts)
     bhdr = block_header_bytes(jnp, codes, bpp)
 
-    is_raw = codes == 1
-    lenA = jnp.where(is_raw, 256, sec["lenA"])
+    # RAW planes re-use the 16 row slots as 16 raw 16-byte chunks
+    is_raw = (codes == 1)[..., None]
+    rows = jnp.where(
+        is_raw[..., None],
+        jnp.concatenate([x, jnp.zeros(x.shape[:-1] + (2,), jnp.int32)], -1),
+        sec["rows"],
+    )
+    lenR = jnp.where(is_raw, 16, sec["lenR"])
+    lenA = jnp.where(is_raw[..., 0], 0, sec["lenA"])
+    lenB = jnp.where(is_raw[..., 0], 0, sec["lenB"])
 
-    # Section lens per block: [bhdr][A B r0..r15]*bpp
-    plane_lens = jnp.concatenate(
-        [lenA[..., None], sec["lenB"][..., None], sec["lenR"]], axis=-1
-    )  # (n_sb, nb, bpp, 18)
-    lens = jnp.concatenate(
+    # Padded per-block layout: [bhdr(hdr_pad) | per plane: A(8) B(18) 16x18]
+    plane_w = 8 + 18 + 16 * 18  # 314
+    bhdr_pad = jnp.concatenate(
+        [bhdr, jnp.zeros((n_sb, nb, hdr_pad - hdr_w), jnp.int32)], axis=-1
+    )
+    planes_flat = jnp.concatenate(
+        [sec["headA"], sec["minsec"], rows.reshape(*rows.shape[:-2], 288)],
+        axis=-1,
+    )  # (n_sb, nb, bpp, 314)
+    layout = jnp.concatenate(
+        [bhdr_pad, planes_flat.reshape(n_sb, nb, bpp * plane_w)], axis=-1
+    ).reshape(n_sb, nb * (hdr_pad + bpp * plane_w))
+
+    # validity masks per lane
+    def sec_mask(width, lens):
+        return jnp.arange(width, dtype=jnp.int32) < lens[..., None]
+
+    m_bhdr = sec_mask(hdr_pad, jnp.full((n_sb, nb), hdr_w, jnp.int32))
+    m_planes = jnp.concatenate(
         [
-            jnp.full((n_sb, nb, 1), hdr_w, jnp.int32),
-            plane_lens.reshape(n_sb, nb, bpp * 18),
+            sec_mask(8, lenA),
+            sec_mask(18, lenB),
+            sec_mask(18, lenR).reshape(*lenR.shape[:-1], 288),
         ],
         axis=-1,
-    )  # (n_sb, nb, 1 + 18*bpp)
-    block_sizes = lens.sum(axis=-1)
+    )
+    valid = jnp.concatenate(
+        [m_bhdr, m_planes.reshape(n_sb, nb, bpp * plane_w)], axis=-1
+    ).reshape(layout.shape)
 
-    flat = lens.reshape(n_sb, -1)
-    offs = jnp.cumsum(flat, axis=-1) - flat  # exclusive
-    total = offs[:, -1] + flat[:, -1]
-    offs = offs.reshape(lens.shape)
+    out, total = compact(jnp, layout, valid)
+    out = out.astype(jnp.uint8)
 
-    max_out = sbytes + nb * hdr_w
-    out = jnp.zeros((n_sb, max_out), jnp.uint8)
-    rows_idx = jnp.arange(n_sb)[:, None]
-
-    def scatter(out, off, content, length, width):
-        """off (..., ), content (..., width), length (...,)."""
-        cols = jnp.arange(width, dtype=jnp.int32)
-        idx = off[..., None] + cols
-        idx = jnp.where(cols < length[..., None], idx, max_out)
-        flat_idx = idx.reshape(n_sb, -1)
-        flat_val = content.astype(jnp.uint8).reshape(n_sb, -1)
-        return out.at[rows_idx, flat_idx].set(flat_val, mode="drop")
-
-    plane_offs = offs[..., 1:].reshape(n_sb, nb, bpp, 18)
-
-    out = scatter(out, offs[..., 0], bhdr,
-                  jnp.full((n_sb, nb), hdr_w, jnp.int32), hdr_w)
-    # slot A: hdr8/SAME for non-raw planes
-    out = scatter(out, plane_offs[..., 0], sec["headA"],
-                  jnp.where(is_raw, 0, sec["lenA"]), 8)
-    # raw planes (256 bytes of the shuffled plane)
-    out = scatter(out, plane_offs[..., 0], x.reshape(n_sb, nb, bpp, 256),
-                  jnp.where(is_raw, 256, 0), 256)
-    out = scatter(out, plane_offs[..., 1], sec["minsec"], sec["lenB"], 18)
-    out = scatter(out, plane_offs[..., 2:], sec["rows"], sec["lenR"], 18)
-
+    plane_sizes = lenA + lenB + lenR.sum(axis=-1)
+    block_sizes = hdr_w + plane_sizes.sum(axis=-1)
     return out, total, block_sizes, full_sizes
 
 
@@ -238,7 +247,7 @@ class JaxEngine:
         return b"".join(pieces)
 
     def decode_block_stream(self, payload, bpp, nbytes):
-        """Decode via host parse-index + device parallel kernel; falls back
+        """Decode via host row-parse + device parallel kernel; falls back
         to the host decoder when the native parser is unavailable."""
         from .native import lib as native
 
@@ -249,21 +258,20 @@ class JaxEngine:
             from .codec.decode_np import block_codec_decode
 
             return block_codec_decode(payload, bpp, nbytes)
-        parsed = native.parse_index(payload, bpp, nbytes)
+        parsed = native.parse_rows(payload, bpp, nbytes)
         if isinstance(parsed, int):
             return parsed
-        plane_off, plane_kind, plane_val, patch, tail_off, tail_len, _ = parsed
-        buf = np.concatenate([np.frombuffer(payload, np.uint8), patch])
+        vbuf, plane_off, row_rel, row_hdr, row_min, tail, _ = parsed
         # pad to a bucket so jit shapes are reused across superblocks
-        bucket = _bucket(len(buf))
-        buf = np.pad(buf, (0, bucket - len(buf)))
-        out = decode_blocks_jit(buf, plane_off, plane_kind, plane_val, bpp, nb)
-        out = np.asarray(out)
-        if tail_len:
-            out = np.concatenate(
-                [out, patch[tail_off - len(payload):
-                            tail_off - len(payload) + tail_len]]
-            )
+        bucket = _bucket(len(vbuf))
+        vbuf = np.pad(vbuf, (0, bucket - len(vbuf)))
+        Pn = nb * bpp
+        planes = decode_rows_jit(vbuf, plane_off, row_rel, row_hdr, row_min,
+                                 Pn)
+        out = np.asarray(planes).reshape(nb, bpp, 256).transpose(0, 2, 1)
+        out = out.reshape(nb * block_size)
+        if len(tail):
+            out = np.concatenate([out, tail])
         return out[:nbytes]
 
 
@@ -289,81 +297,125 @@ def decompress_frame_batched(frame: bytes, bpp: int, engine=None):
     n_sb = dsize_total // sb
     nb = sb // block_size
 
-    bufs, offs, kinds, vals = [], [], [], []
-    base = 0
+    bufs, poffs, rels, hdrs, mns = [], [], [], [], []
     for _ in range(n_sb):
         code = frame[pos]
         csize = int.from_bytes(frame[pos + 1 : pos + 4], "little")
         if code != 1:
             return None
         payload = frame[pos + 4 : pos + 4 + csize]
-        parsed = native.parse_index(payload, bpp, sb)
+        parsed = native.parse_rows(payload, bpp, sb)
         if isinstance(parsed, int):
             return None
-        po, pk, pv, patch, t_off, t_len, _ = parsed
-        if t_len:
+        vbuf, po, rel, rh, rm, tail, _ = parsed
+        if len(tail):
             return None
-        buf = np.concatenate([np.frombuffer(payload, np.uint8), patch])
-        bufs.append(buf)
-        offs.append(po.astype(np.int64) + base)
-        kinds.append(pk)
-        vals.append(pv)
-        base += len(buf)
+        bufs.append(vbuf)
+        poffs.append(po.astype(np.int64))
+        rels.append(rel)
+        hdrs.append(rh)
+        mns.append(rm)
         pos += 4 + csize
-    allbuf = np.concatenate(bufs)
-    bucket = _bucket(len(allbuf))
-    allbuf = np.pad(allbuf, (0, bucket - len(allbuf)))
-    out = decode_blocks_jit(
-        allbuf,
-        np.concatenate(offs).astype(np.int32),
-        np.concatenate(kinds),
-        np.concatenate(vals),
-        bpp,
-        nb * n_sb,
+    bucket = _bucket(max(len(b) for b in bufs))
+    vbufs = np.zeros((n_sb, bucket), np.uint8)
+    for i, b in enumerate(bufs):
+        vbufs[i, : len(b)] = b
+    Pn = nb * bpp
+    planes = decode_rows_batched_jit(
+        vbufs,
+        np.stack(poffs).astype(np.int32),
+        np.stack(rels),
+        np.stack(hdrs),
+        np.stack(mns),
+        Pn,
     )
-    return np.asarray(out)
+    out = np.asarray(planes).reshape(n_sb * nb, bpp, 256).transpose(0, 2, 1)
+    return out.reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("bpp", "level"))
+def _encode_with_headers_jit(data, bpp: int, level: int):
+    """Per-superblock [method(1) size(u24) stream] rows + frame offsets."""
+    n_sb, sb = data.shape
+    out, total, _, _ = encode_superblocks_body(data, bpp, 2)
+    hdr4 = jnp.stack(
+        [
+            jnp.full(n_sb, 1, jnp.int32),
+            total & 255,
+            (total >> 8) & 255,
+            (total >> 16) & 255,
+        ],
+        axis=-1,
+    ).astype(jnp.uint8)
+    rows = jnp.concatenate([hdr4, out], axis=-1)
+    sizes = total + 4
+    offs = 8 + jnp.cumsum(sizes) - sizes
+    return rows, sizes, offs.astype(jnp.int32)
+
+
+def _frame_assemble_kernel(offs_ref, hdr_ref, rows_ref, out_ref, sem):
+    """One DMA per grid step: ordered overlapping copies build the ragged
+    frame (later rows overwrite earlier rows' padding). DMAs are
+    byte-addressable, sidestepping Mosaic's vector-alignment constraints."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    max_w = rows_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        d = pltpu.make_async_copy(hdr_ref, out_ref.at[pl.ds(0, 8)], sem)
+        d.start()
+        d.wait()
+
+    d = pltpu.make_async_copy(
+        rows_ref.at[i], out_ref.at[pl.ds(offs_ref[i], max_w)], sem
+    )
+    d.start()
+    d.wait()
+
+
+def _frame_assemble(rows, offs, header8, cap: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_sb = rows.shape[0]
+    interpret = jax.default_backend() == "cpu"
+    return pl.pallas_call(
+        _frame_assemble_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_sb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA],
+        ),
+        out_shape=jax.ShapeDtypeStruct((cap,), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(offs, header8, rows)
+
+
 def compress_frame_device_jit(data, bpp: int, level: int):
     """Fully device-resident level-1 frame compression (method BLOCK).
 
     data: (n_sb, sb) uint8 (whole input, sb | len). Returns (frame, size):
     frame stays in HBM — the TPU-native equivalent of the reference's
-    RAM-to-RAM compress path.
+    RAM-to-RAM compress path (whose final serial memcpy pass,
+    stenos.cpp:977-1004, becomes the ordered-DMA assembly kernel here).
     """
+    import jax.experimental.pallas  # noqa: F401  (ensure pallas available)
+
     n_sb, sb = data.shape
-    out, total, _, _ = encode_superblocks_jit(data, bpp, 2)
-    max_out = out.shape[1]
     nbytes = n_sb * sb
-
-    sb_sizes = total + 4
-    sb_offs = 8 + jnp.cumsum(sb_sizes) - sb_sizes
-    frame_len = 8 + jnp.sum(sb_sizes)
-
-    cap = 8 + n_sb * 4 + n_sb * max_out
-    frame = jnp.zeros(cap, jnp.uint8)
-    # frame header: shift 0 + u56 size (static)
+    rows, sizes, offs = _encode_with_headers_jit(data, bpp, level)
     hdr = np.zeros(8, np.uint8)
-    hdr[0] = 0
     hdr[1:8] = np.frombuffer(int(nbytes).to_bytes(7, "little"), np.uint8)
-    frame = frame.at[:8].set(jnp.asarray(hdr))
-    # superblock headers: method 1 + u24 size
-    shdr = jnp.stack(
-        [
-            jnp.full(n_sb, 1, jnp.uint8),
-            (total & 255).astype(jnp.uint8),
-            ((total >> 8) & 255).astype(jnp.uint8),
-            ((total >> 16) & 255).astype(jnp.uint8),
-        ],
-        axis=-1,
-    )
-    hidx = sb_offs[:, None] + jnp.arange(4)
-    frame = frame.at[hidx.reshape(-1)].set(shdr.reshape(-1), mode="drop")
-    # payloads
-    cols = jnp.arange(max_out)
-    pidx = jnp.where(cols < total[:, None], sb_offs[:, None] + 4 + cols, cap)
-    frame = frame.at[pidx.reshape(-1)].set(out.reshape(-1), mode="drop")
+    cap = 8 + n_sb * rows.shape[1]
+    frame = _frame_assemble(rows, offs, jnp.asarray(hdr), cap)
+    frame_len = 8 + jnp.sum(sizes)
     return frame, frame_len
 
 
@@ -379,113 +431,161 @@ _ROW_SIZE_LUT = np.array(
 )
 
 
-@partial(jax.jit, static_argnames=("bpp", "nb"))
-def decode_blocks_jit(buf, plane_off, plane_kind, plane_val, bpp: int, nb: int):
-    """Fully-parallel decode of nb full blocks from a parsed index.
+def expand_rows(xp, win, rel, W: int = 18):
+    """Within-window expansion: split (P, Lw) plane windows into (P, 16, W)
+    row windows at in-window starts rel (P, 16) (monotone; consecutive rows
+    contiguous so strides <= 18 — the expansion contract holds by format).
 
-    TPU-first structure: every sequential dependency of the format collapses
-    to either a 16-step vectorized scan (row offsets within a plane) or an
-    affine recurrence out_row = a + b*prev_last (mod 256) solved in one
-    16-step loop over rows — everything else is gathers + VPU math across all
-    planes at once.
-    """
-    P = nb * bpp
-    i32 = jnp.int32
-    L = buf.shape[0]
-    po = plane_off.astype(i32)
-
-    def gat(idx):
-        return buf[jnp.clip(idx, 0, L - 1)].astype(i32)
-
-    # --- plane row headers (nibbles)
-    hdr8 = gat(po[:, None] + jnp.arange(8))
-    h = jnp.stack([hdr8 & 15, hdr8 >> 4], axis=-1).reshape(P, 16)
-
-    # --- mins (plain compacted or RLE16)
-    eligible = (h != 6) & (h != 7) & (h != 15)
-    ecum = jnp.cumsum(eligible.astype(i32), axis=-1)
-    mins_plain = jnp.where(
-        eligible, gat(po[:, None] + 8 + (ecum - 1)), 0
+    Owner/segment-start are computed with dense comparisons (16-wide) rather
+    than scatters."""
+    Lw = win.shape[-1]
+    i32 = xp.int32
+    j = xp.arange(Lw, dtype=i32)
+    started = rel[:, None, :] <= j[None, :, None]  # (P, Lw, 16)
+    owner = xp.sum(started.astype(i32), axis=-1) - 1
+    start_of = xp.max(
+        xp.where(started, rel[:, None, :], -1), axis=-1
     )
-    plain_end = po + 8 + ecum[:, -1]
+    inwin = j[None, :] - start_of
+    dest_ok = (owner >= 0) & (inwin < W)
+    target = Lw + owner * 18 + inwin
+    shift = xp.where(dest_ok, target - j[None, :], 0)
+    v = win.astype(i32) & 255
+    w = xp.where(dest_ok, v | (shift << 8) | (1 << 30), 0)
+    out_w = Lw + 16 * W
+    pad = xp.zeros(win.shape[:-1] + (out_w - Lw,), i32)
+    w = xp.concatenate([w, pad], axis=-1)
+    k = 1
+    stages = []
+    while k < out_w:
+        stages.append(k)
+        k <<= 1
+    for bit in reversed(stages):
+        moved = xp.roll(w, bit, axis=-1)
+        head = xp.arange(out_w, dtype=i32) < bit
+        moved = xp.where(head, 0, moved)
+        arrive = ((moved >> 8) & bit) != 0
+        stay = (w != 0) & (((w >> 8) & bit) == 0)
+        w = xp.where(arrive, moved - (bit << 8), xp.where(stay, w, 0))
+    out = (w & 255)[..., Lw:]
+    return out.reshape(out.shape[:-1] + (16, W))
 
-    mmask = gat(po + 8) | (gat(po + 9) << 8)
-    mbits = (mmask[:, None] >> jnp.arange(16)) & 1
-    mkeep = 1 - mbits
-    mc = jnp.cumsum(mkeep, axis=-1)
-    mins_rle = jnp.where(mc >= 1, gat(po[:, None] + 10 + (mc - 1)), 0)
-    rle_end = po + 10 + mc[:, -1]
 
-    is_rle_mins = plane_kind == 1
-    mins = jnp.where(is_rle_mins[:, None], mins_rle, mins_plain)
-    mins_end = jnp.where(is_rle_mins, rle_end, plain_end)
+def _decode_rows_body(vbuf, plane_off, row_rel, row_hdr, row_min, P: int):
+    """v2 device decoder: two log-shift expansions + dense VPU math.
 
-    # --- row offsets: 16-step scan (RLE rows read their 2-byte mask)
-    size_lut = jnp.asarray(_ROW_SIZE_LUT)
-    static_sizes = size_lut[h]
-    is_rle_row = (h == 6) | (h == 7)
+    vbuf: (L,) uint8 virtual stream (LZ/COPY pre-spliced by the parser);
+    plane_off (P,), row_rel/hdr/min (P, 16). Returns (P*256,) plane-major
+    bytes (caller reshapes (nb, bpp, 256) and unshuffles).
 
-    def off_step(cur, r):
-        m = gat(cur) | (gat(cur + 1) << 8)
-        rle_size = 2 + 16 - jnp.bitwise_count(m.astype(jnp.uint16)).astype(i32)
-        size = jnp.where(is_rle_row[:, r], rle_size, static_sizes[:, r])
-        return cur + size, cur
+    Sequential structure is gone by construction: expansion 1 places each
+    plane's payload in a 320-byte window (plane strides <= 320), expansion 2
+    places each row's payload in an 18-byte window (row strides <= 18);
+    within-row RLE becomes placement (log-shift) + fill-left; the cross-row
+    carry is the affine recurrence out = a + b*prev_last (mod 256).
+    """
+    from .ops.compact import expand, fill_left
 
-    _, row_off = jax.lax.scan(off_step, mins_end, jnp.arange(16))
-    row_off = row_off.T  # (P, 16)
+    i32 = jnp.int32
+    h = row_hdr.astype(i32).reshape(P * 16)
+    mins = row_min.astype(i32).reshape(P * 16)
+    R = P * 16
 
-    # --- row payload windows
-    W = gat(row_off[:, :, None] + jnp.arange(18))  # (P,16,18)
+    Wp = expand(jnp, vbuf, plane_off.astype(i32), 320)  # (P, 320)
+    W = expand_rows(jnp, Wp, row_rel.astype(i32)).astype(i32)
+    W = W.reshape(R, 18)
 
-    # RLE reconstruction (shared by h==7 rows, h==6 delta rows, mins)
-    rmask = W[..., 0] | (W[..., 1] << 8)
-    rbit = (rmask[..., None] >> jnp.arange(16)) & 1
-    rkeep = 1 - rbit
-    rc = jnp.cumsum(rkeep, axis=-1)
-    kept = jnp.take_along_axis(W, 2 + jnp.clip(rc - 1, 0, 15), axis=-1)
-    rle_vals = jnp.where(rc >= 1, kept, 0)  # leading repeats -> prev (b flag)
+    # --- RLE reconstruction (h 6/7): mask -> placement + fill-left
+    rmask = W[:, 0] | (W[:, 1] << 8)
+    rbit = (rmask[:, None] >> jnp.arange(16)) & 1  # 1 = repeat
+    lit = rbit == 0
+    # kept bytes W[2:18] are consecutive; spread them to literal positions
+    litc = jnp.cumsum(lit.astype(i32), axis=-1)
+    placed = expand_literals(W[:, 2:18], lit, litc)
+    rle_vals, have = fill_left(jnp, placed, lit, 16)
+    rle_bflag = (~have).astype(i32)  # leading repeats take prev_last
 
-    # bit-packed values
+    # --- bit-packed values
     from .ops.bitpack import unpack16
 
     bitpack_row = ((h >= 1) & (h <= 5)) | ((h >= 9) & (h <= 14))
     bwidth = jnp.where(bitpack_row, h % 8, 0)
-    vals = jnp.zeros((P, 16, 16), i32)
+    vals = jnp.zeros((R, 16), i32)
     for b in range(1, 7):
         vals = jnp.where(
-            (bwidth == b)[..., None], unpack16(jnp, W[..., :12], b), vals
+            (bwidth == b)[:, None], unpack16(jnp, W[:, :12], b), vals
         )
 
-    # per-row (a, bflag): out = (a + bflag * prev_last) & 255
-    h3 = h[..., None]
-    direct_a = (vals + mins[..., None]) & 255
-    delta_a = jnp.cumsum(vals + mins[..., None], axis=-1) & 255
+    h2 = h[:, None]
+    direct_a = (vals + mins[:, None]) & 255
+    delta_a = jnp.cumsum(vals + mins[:, None], axis=-1) & 255
     drle_a = jnp.cumsum(rle_vals, axis=-1) & 255
-    a = jnp.where(h3 == 15, W[..., :16], direct_a)
-    a = jnp.where((h3 >= 8) & (h3 <= 14), delta_a, a)
-    a = jnp.where(h3 == 6, drle_a, a)
-    a = jnp.where(h3 == 7, rle_vals, a)
-    bflag = jnp.zeros((P, 16, 16), i32)
-    bflag = jnp.where((h3 >= 8) & (h3 <= 14), 1, bflag)
-    bflag = jnp.where(h3 == 6, 1, bflag)
-    bflag = jnp.where(h3 == 7, (rc == 0).astype(i32), bflag)
+    a = jnp.where(h2 == 15, W[:, :16], direct_a)
+    a = jnp.where((h2 >= 8) & (h2 <= 14), delta_a, a)
+    a = jnp.where(h2 == 6, drle_a, a)
+    a = jnp.where(h2 == 7, rle_vals, a)
+    bflag = jnp.zeros((R, 16), i32)
+    bflag = jnp.where((h2 >= 8) & (h2 <= 14), 1, bflag)
+    bflag = jnp.where(h2 == 6, 1, bflag)
+    bflag = jnp.where(h2 == 7, rle_bflag, bflag)
 
-    # --- affine chain across rows (prev_last)
-    def chain_step(pl, r):
-        nxt = (a[:, r, 15] + bflag[:, r, 15] * pl) & 255
-        return nxt, pl
+    # --- affine chain over the 16 rows of each plane
+    a = a.reshape(P, 16, 16)
+    bflag = bflag.reshape(P, 16, 16)
+
+    def chain_step(pl_, r):
+        nxt = (a[:, r, 15] + bflag[:, r, 15] * pl_) & 255
+        return nxt, pl_
 
     _, pls = jax.lax.scan(chain_step, jnp.zeros(P, i32), jnp.arange(16))
-    pls = pls.T  # (P,16): prev_last entering each row
-    planes = (a + bflag * pls[:, :, None]) & 255  # (P,16,16)
-    planes = planes.reshape(P, 256)
+    pls = pls.T
+    planes = (a + bflag * pls[:, :, None]) & 255
+    return planes.reshape(R * 16).astype(jnp.uint8)
 
-    # --- plane kind select
-    same_fill = jnp.broadcast_to(plane_val.astype(i32)[:, None], (P, 256))
-    raw_bytes = gat(po[:, None] + jnp.arange(256))
-    planes = jnp.where((plane_kind == 2)[:, None], same_fill, planes)
-    planes = jnp.where((plane_kind == 3)[:, None], raw_bytes, planes)
 
-    # --- unshuffle blocks: (nb, bpp, 256) -> (nb, 256, bpp)
-    out = planes.reshape(nb, bpp, 256).transpose(0, 2, 1)
-    return out.reshape(nb * 256 * bpp).astype(jnp.uint8)
+decode_rows_jit = partial(jax.jit, static_argnames=("P",))(_decode_rows_body)
+
+
+@partial(jax.jit, static_argnames=("P",))
+def decode_rows_batched_jit(vbufs, plane_off, row_rel, row_hdr, row_min,
+                            P: int):
+    """vmap over superblocks: keeps each expansion's width (and packed-shift
+    magnitude) per-superblock-sized regardless of total input size."""
+    return jax.vmap(
+        lambda a, b, c, d, e: _decode_rows_body(a, b, c, d, e, P)
+    )(vbufs, plane_off, row_rel, row_hdr, row_min)
+
+
+def expand_literals(kept, lit, litc):
+    """Place consecutive kept bytes at literal positions (tiny log-shift
+    right over 16 lanes): kept (R,16) in order; literal position i receives
+    kept[litc[i]-1]."""
+    i32 = jnp.int32
+    # shift for kept byte j: destination = position of the j-th literal.
+    # Work from the destination side instead: value at lane i should come
+    # from kept[litc[i]-1]; since litc-1 is monotone with unit steps at
+    # literals, spreading = right log-shift of kept by (i - (litc[i]-1)).
+    pos = jnp.arange(16, dtype=i32)
+    shift = jnp.where(lit, pos - (litc - 1), 0)
+    w = jnp.where(lit, 0, 0)  # build from source side below
+    # source side: kept byte j sits at lane j, must move right by
+    # (dest_j - j) where dest_j = position of j-th literal = via scatter-free
+    # trick: dest of byte j satisfies litc[dest]-1 == j at a literal lane.
+    # Use the destination formulation with a gather-free log-shift: encode
+    # kept values with their shifts taken from the destination lanes via
+    # compaction symmetry: compact destination shifts to the source side.
+    from .ops.compact import compact
+
+    dshift, _ = compact(jnp, shift, lit, 16)  # shift for kept byte j
+    wv = kept.astype(i32) & 255
+    valid = jnp.arange(16) < jnp.sum(lit, axis=-1)[:, None]
+    w = jnp.where(valid, wv | (dshift << 8) | (1 << 30), 0)
+    for k in reversed(range(4)):
+        bit = 1 << k
+        moved = jnp.roll(w, bit, axis=-1)
+        head = jnp.arange(16, dtype=i32) < bit
+        moved = jnp.where(head, 0, moved)
+        arrive = ((moved >> 8) & bit) != 0
+        stay = (w != 0) & (((w >> 8) & bit) == 0)
+        w = jnp.where(arrive, moved - (bit << 8), jnp.where(stay, w, 0))
+    return w & 255

@@ -38,6 +38,13 @@ class _Native:
             ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        cdll.stn_parse_rows.restype = ctypes.c_ssize_t
+        cdll.stn_parse_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
 
     def lz4_guess_size(self, data, accel: int) -> int:
         data = bytes(data)
@@ -74,6 +81,59 @@ class _Native:
         return (plane_off, plane_kind, plane_val,
                 patch[: int(patch_len[0])], int(tail_info[0]),
                 int(tail_info[1]), int(r))
+
+    def parse_rows(self, src, bpp: int, nbytes: int):
+        """Row-level decode index for the device decoder.
+
+        Returns (vbuf, plane_off i32[P], row_rel i32[P,16], row_hdr u8[P,16],
+        row_min u8[P,16], tail_bytes, consumed) or a negative error. vbuf is
+        the VIRTUAL stream: the payload with LZ/COPY blocks replaced inline
+        by decoded shuffled planes; plane_off indexes vbuf, row_rel is
+        relative to each plane's offset. tail_bytes = decoded partial tail.
+        """
+        import numpy as np
+
+        src = bytes(src)
+        block_size = 256 * bpp
+        nb = 1 if nbytes == block_size else nbytes // block_size
+        P = max(nb * bpp, 1)
+        row_hdr = np.zeros(P * 16, dtype=np.uint8)
+        row_min = np.zeros(P * 16, dtype=np.uint8)
+        row_rel = np.zeros(P * 16, dtype=np.int32)
+        plane_off = np.zeros(P, dtype=np.int32)
+        patch_cap = nbytes + 2 * block_size
+        patch = np.empty(patch_cap, dtype=np.uint8)
+        patch_len = np.zeros(1, dtype=np.int64)
+        tail_info = np.zeros(2, dtype=np.int64)
+        splices = np.zeros((max(nb, 1), 3), dtype=np.int64)
+        n_splices = np.zeros(1, dtype=np.int64)
+        scratch = np.empty(512 * bpp + 16, dtype=np.uint8)
+        as_p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        r = self._lib.stn_parse_rows(
+            src, len(src), bpp, nbytes, as_p(row_hdr), as_p(row_min),
+            as_p(row_rel), as_p(plane_off), as_p(patch), patch_cap,
+            as_p(patch_len), as_p(tail_info), as_p(splices),
+            as_p(n_splices), as_p(scratch))
+        if r < 0:
+            return int(r)
+        stream = np.frombuffer(src, np.uint8)
+        nspl = int(n_splices[0])
+        if nspl:
+            pieces = []
+            prev = 0
+            for k in range(nspl):
+                sp, skip, ppos = splices[k]
+                pieces.append(stream[prev:sp])
+                pieces.append(patch[ppos : ppos + block_size])
+                prev = sp + skip
+            pieces.append(stream[prev:])
+            vbuf = np.concatenate(pieces)
+        else:
+            vbuf = stream
+        tail = patch[int(tail_info[0]) : int(tail_info[0]) + int(tail_info[1])] \
+            if tail_info[1] else np.zeros(0, np.uint8)
+        return (vbuf, plane_off, row_rel.reshape(P, 16),
+                row_hdr.reshape(P, 16), row_min.reshape(P, 16), tail, int(r))
 
     def block_decode(self, src, bpp: int, nbytes: int):
         """Decode a block stream -> numpy uint8 array or negative error."""

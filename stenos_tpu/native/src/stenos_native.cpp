@@ -615,3 +615,211 @@ EXPORT ptrdiff_t stn_parse_index(const uint8_t* src, size_t size, size_t bpp,
     patch_len[0] = (int64_t)patch_w;
     return pos;
 }
+
+// ------------------------------------------------- row-level parse (decode)
+//
+// Uniform row-record index for the v2 device decoder: EVERY construct of the
+// format becomes 16 rows of (header, min, offset):
+//   bitpack/RLE/raw rows  -> their own header + payload offset
+//   ALL_SAME plane        -> 16 rows with header 0 (memset) and min = value
+//   ALL_RAW plane         -> 16 raw rows (header 15) at po + 16*r
+//   LZ / COPY blocks      -> decoded+shuffled on host into the patch area,
+//                            exposed as raw rows at patch offsets
+// NORMAL_RLE min vectors are resolved here (they are 16 bytes each), so the
+// device kernel needs no plane-level logic at all. Offsets are monotone
+// non-decreasing in stream order — the contract of ops/compact.expand.
+
+namespace {
+
+// Parse one NORMAL/NORMAL_RLE plane emitting row records; returns consumed.
+ptrdiff_t parse_plane_rows(const uint8_t* src, ptrdiff_t avail, bool rle_mins,
+                           int32_t base, uint8_t* rh, uint8_t* rm,
+                           int32_t* ro) {
+    if (avail < 8) return -1;
+    uint8_t headers[16];
+    for (int i = 0; i < 8; ++i) {
+        headers[2 * i] = src[i] & 15;
+        headers[2 * i + 1] = src[i] >> 4;
+    }
+    ptrdiff_t pos = 8;
+    uint8_t mins[16] = {0};
+    if (rle_mins) {
+        ptrdiff_t r = rle_row(src + pos, avail - pos, mins, 0);
+        if (r < 0) return -1;
+        pos += r;
+    } else {
+        for (int i = 0; i < 16; ++i) {
+            const uint8_t h = headers[i];
+            if (h != 6 && h != 7 && h != 15) {
+                if (pos >= avail) return -1;
+                mins[i] = src[pos++];
+            }
+        }
+    }
+    static const int kSize[16] = {0, 2, 4, 6, 8, 10, 12, -1,
+                                  0, 2, 4, 6, 8, 10, 12, 16};
+    for (int r = 0; r < 16; ++r) {
+        const uint8_t h = headers[r];
+        rh[r] = h;
+        rm[r] = mins[r];
+        ro[r] = base + (int32_t)pos;
+        if (h == 6 || h == 7) {
+            if (pos + 2 > avail) return -1;
+            const uint32_t mask =
+                (uint32_t)src[pos] | ((uint32_t)src[pos + 1] << 8);
+            pos += 2 + __builtin_popcount(~mask & 0xFFFFu);
+        } else {
+            pos += kSize[h];
+        }
+        if (pos > avail) return -1;
+    }
+    return pos;
+}
+
+}  // namespace
+
+EXPORT ptrdiff_t stn_parse_rows(const uint8_t* src, size_t size, size_t bpp,
+                                size_t nbytes, uint8_t* row_hdr,
+                                uint8_t* row_min, int32_t* row_rel,
+                                int32_t* plane_off, uint8_t* patch,
+                                size_t patch_cap, int64_t* patch_len,
+                                int64_t* tail_info, int64_t* splices,
+                                int64_t* n_splices,
+                                uint8_t* scratch /* >= 512*bpp */) {
+    // Offsets are in VIRTUAL coordinates: the stream with every LZ/COPY
+    // block replaced inline by its decoded shuffled planes (256*bpp bytes).
+    // splices: triples (stream_pos, stream_skip, patch_pos) for the host to
+    // materialize the virtual buffer (rare; zero for plain streams).
+    const ptrdiff_t n = (ptrdiff_t)size;
+    const size_t hdr_w = (bpp + 1) / 2;
+    const size_t block_size = 256 * bpp;
+    const size_t nb = nbytes == block_size ? 1 : nbytes / block_size;
+    ptrdiff_t pos = 0;
+    int64_t vdelta = 0;  // virtual - real offset
+    size_t patch_w = 0;
+    int64_t nspl = 0;
+    tail_info[0] = -1;
+    tail_info[1] = 0;
+
+    for (size_t b = 0; b < nb; ++b) {
+        if (pos >= n) return ERR_SRC;
+        const uint8_t marker = src[pos];
+        uint8_t* rh = row_hdr + b * bpp * 16;
+        uint8_t* rm = row_min + b * bpp * 16;
+        int32_t* rr = row_rel + b * bpp * 16;
+        int32_t* po = plane_off + b * bpp;
+        if (marker == 252 || marker == 253) {  // COPY / LZ -> inline patch
+            const ptrdiff_t block_start = pos;
+            ++pos;
+            uint8_t* dec = scratch;
+            if (marker == 252) {
+                if (pos + (ptrdiff_t)block_size > n) return ERR_SRC;
+                std::memcpy(dec, src + pos, block_size);
+                pos += block_size;
+            } else {
+                ptrdiff_t c = lz_block(src + pos, n - pos, bpp, dec);
+                if (c < 0) return ERR_INPUT;
+                pos += c;
+            }
+            if (patch_w + block_size > patch_cap) return ERR_INPUT;
+            for (size_t p = 0; p < bpp; ++p) {
+                uint8_t* dst = patch + patch_w + p * 256;
+                for (size_t e = 0; e < 256; ++e) dst[e] = dec[e * bpp + p];
+                po[p] = (int32_t)(block_start + vdelta + (int64_t)p * 256);
+                for (int r = 0; r < 16; ++r) {
+                    rh[p * 16 + r] = 15;
+                    rm[p * 16 + r] = 0;
+                    rr[p * 16 + r] = (int32_t)(r * 16);
+                }
+            }
+            splices[nspl * 3 + 0] = block_start;
+            splices[nspl * 3 + 1] = pos - block_start;
+            splices[nspl * 3 + 2] = (int64_t)patch_w;
+            ++nspl;
+            patch_w += block_size;
+            vdelta += (int64_t)block_size - (pos - block_start);
+            continue;
+        }
+        if (pos + (ptrdiff_t)hdr_w >= n) return ERR_SRC;
+        const uint8_t* codes = src + pos;
+        pos += hdr_w;
+        for (size_t p = 0; p < bpp; ++p) {
+            const int code = (codes[p >> 1] >> (4 * (p & 1))) & 15;
+            uint8_t* prh = rh + p * 16;
+            uint8_t* prm = rm + p * 16;
+            int32_t* prr = rr + p * 16;
+            po[p] = (int32_t)(pos + vdelta);
+            if (code == 0) {  // ALL_SAME -> 16 memset rows
+                if (pos >= n) return ERR_SRC;
+                const uint8_t v = src[pos++];
+                for (int r = 0; r < 16; ++r) {
+                    prh[r] = 0;
+                    prm[r] = v;
+                    prr[r] = 1;  // zero-size rows past the value byte
+                }
+            } else if (code == 1) {  // ALL_RAW -> 16 raw rows
+                if (pos + 256 > n) return ERR_SRC;
+                for (int r = 0; r < 16; ++r) {
+                    prh[r] = 15;
+                    prm[r] = 0;
+                    prr[r] = (int32_t)(r * 16);
+                }
+                pos += 256;
+            } else if (code == 2 || code == 3) {
+                ptrdiff_t c = parse_plane_rows(src + pos, n - pos, code == 3,
+                                               0, prh, prm, prr);
+                if (c < 0) return ERR_SRC;
+                pos += c;
+            } else {
+                return ERR_INPUT;
+            }
+        }
+    }
+
+    const size_t rem = nbytes - nb * block_size;
+    if (rem) {  // partial tail: host-decoded into the patch area
+        if (pos == n) return ERR_SRC;
+        if (src[pos++] != 254) return ERR_INPUT;
+        uint8_t* out = scratch;
+        const size_t line_size = 16 * bpp;
+        const size_t lines = rem / line_size;
+        uint8_t* planes = scratch + 256 * bpp;
+        if (lines) {
+            if (pos + (ptrdiff_t)hdr_w >= n) return ERR_SRC;
+            const uint8_t* codes = src + pos;
+            pos += hdr_w;
+            for (size_t p = 0; p < bpp; ++p) {
+                const int code = (codes[p >> 1] >> (4 * (p & 1))) & 15;
+                uint8_t* plane = planes + p * 256;
+                if (code == 0) {
+                    if (pos >= n) return ERR_SRC;
+                    std::memset(plane, src[pos++], 16 * lines);
+                } else if (code == 2) {
+                    ptrdiff_t c = decode_plane(src + pos, n - pos, (int)lines,
+                                               false, plane);
+                    if (c < 0) return ERR_SRC;
+                    pos += c;
+                } else {
+                    return ERR_INPUT;
+                }
+            }
+            for (size_t p = 0; p < bpp; ++p)
+                for (size_t e = 0; e < 16 * lines; ++e)
+                    out[e * bpp + p] = planes[p * 256 + e];
+        }
+        const size_t tail = rem - lines * line_size;
+        if (tail) {
+            if (pos + (ptrdiff_t)tail > n) return ERR_SRC;
+            std::memcpy(out + lines * line_size, src + pos, tail);
+            pos += tail;
+        }
+        if (patch_w + rem > patch_cap) return ERR_INPUT;
+        std::memcpy(patch + patch_w, out, rem);
+        tail_info[0] = (int64_t)patch_w;
+        tail_info[1] = (int64_t)rem;
+        patch_w += rem;
+    }
+    patch_len[0] = (int64_t)patch_w;
+    n_splices[0] = nspl;
+    return pos;
+}

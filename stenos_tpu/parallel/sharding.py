@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..engine_jax import encode_superblocks_body, decode_blocks_jit
+from ..engine_jax import encode_superblocks_body, decode_rows_jit
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "chunks") -> Mesh:
@@ -52,23 +52,24 @@ def encode_superblocks_sharded(mesh: Mesh, data, bpp: int,
     return jax.jit(f)(data)
 
 
-def decode_blocks_sharded(mesh: Mesh, buf_per_dev, plane_off, plane_kind,
-                          plane_val, bpp: int, nb_per_dev: int,
+def decode_blocks_sharded(mesh: Mesh, buf_per_dev, plane_off, row_rel,
+                          row_hdr, row_min, bpp: int, nb_per_dev: int,
                           axis: str = "chunks"):
-    """Decode equal per-device slices of parsed blocks (buf already padded to
-    equal per-device lengths; offsets local to each device's buf slice)."""
+    """Decode equal per-device slices of row-parsed blocks (buf already
+    padded to equal per-device lengths; plane offsets local to each device's
+    buf slice)."""
+    Pn = nb_per_dev * bpp
 
-    def local(buf, po, pk, pv):
-        return decode_blocks_jit(buf[0], po[0], pk[0], pv[0], bpp,
-                                 nb_per_dev)[None]
+    def local(buf, po, rel, rh, rm):
+        return decode_rows_jit(buf[0], po[0], rel[0], rh[0], rm[0], Pn)[None]
 
     f = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
     )
-    return jax.jit(f)(buf_per_dev, plane_off, plane_kind, plane_val)
+    return jax.jit(f)(buf_per_dev, plane_off, row_rel, row_hdr, row_min)
 
 
 def sharded_compress_step(mesh: Mesh, data, bpp: int, axis: str = "chunks"):
