@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Level sweep benchmark — the bench_all protocol (reference:
+benchs/bench_all.cpp:177-313) on synthetic stands-ins for the stenos_dataset
+families (text, uint16 images, float3/float4 meshes, double time series).
+
+Prints a ms/ratio table per (dataset, level); pass --oracle to also run the
+C++ reference (when /root/reference is present) and report size parity.
+
+Usage: python benchs/bench_all.py [--mb 4] [--levels 1 2 5 9] [--oracle]
+       [--engine host|jax]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import stenos_tpu as st
+
+
+def datasets(mb: int, rng):
+    n = mb * 1024 * 1024
+
+    # text-like (1 byte, skewed symbol distribution with repeats)
+    words = [rng.integers(97, 122, rng.integers(3, 9)).astype(np.uint8)
+             for _ in range(200)]
+    text = np.concatenate(
+        [words[i] for i in rng.integers(0, 200, n // 5)] + [np.full(1, 32, np.uint8)]
+    )[:n]
+    yield "text u8", 1, text.tobytes()
+
+    # uint16 image-like (smooth 2D gradient + noise)
+    side = int((n // 2) ** 0.5)
+    yy, xx = np.mgrid[0:side, 0:side]
+    img = (xx * 7 + yy * 13 + rng.integers(0, 32, (side, side))).astype("<u2")
+    yield "image u16", 2, img.tobytes()[: (n // 2) * 2]
+
+    # float3 mesh-like (12-byte points, spatially correlated)
+    npts = n // 12
+    base = np.cumsum(rng.normal(0, 0.01, (npts, 3)).astype(np.float32), axis=0)
+    yield "mesh float3", 12, base.astype("<f4").tobytes()
+
+    # double time-series (smooth)
+    nd = n // 8
+    ts = np.cumsum(rng.normal(0, 1e-3, nd)) + 100.0
+    yield "timeseries f64", 8, ts.astype("<f8").tobytes()
+
+    # sorted int32 (BASELINE config)
+    ni = n // 4
+    yield "sorted i32", 4, np.sort(
+        rng.integers(0, 1 << 30, ni, dtype=np.int64).astype("<u4")).tobytes()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=int, default=2)
+    ap.add_argument("--levels", type=int, nargs="*", default=[1, 2, 5, 9])
+    ap.add_argument("--oracle", action="store_true")
+    ap.add_argument("--engine", choices=["host", "jax"], default="host")
+    args = ap.parse_args()
+
+    engine = None
+    if args.engine == "jax":
+        from stenos_tpu.engine_jax import JaxEngine
+
+        engine = JaxEngine()
+
+    oracle = None
+    if args.oracle:
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+        import _oracle as oracle  # noqa
+
+    rng = np.random.default_rng(7)
+    hdr = f"{'dataset':>16} {'bpp':>3} {'lvl':>3} {'enc ms':>8} {'dec ms':>8} {'ratio':>7}"
+    if oracle:
+        hdr += f" {'ref ratio':>9} {'bytes==ref':>10}"
+    print(hdr)
+    for name, bpp, data in datasets(args.mb, rng):
+        for level in args.levels:
+            t0 = time.perf_counter()
+            frame = st.compress(data, bpp, level, engine=engine)
+            enc_ms = (time.perf_counter() - t0) * 1000
+            t0 = time.perf_counter()
+            out = st.decompress(frame, bpp, engine=engine)
+            dec_ms = (time.perf_counter() - t0) * 1000
+            assert out.tobytes() == data, (name, level)
+            line = (f"{name:>16} {bpp:>3} {level:>3} {enc_ms:>8.1f} "
+                    f"{dec_ms:>8.1f} {len(data)/len(frame):>7.2f}")
+            if oracle:
+                ref = oracle.compress(data, bpp, level)
+                line += f" {len(data)/len(ref):>9.2f} {str(frame == ref):>10}"
+            print(line)
+
+
+if __name__ == "__main__":
+    main()

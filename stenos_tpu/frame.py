@@ -392,11 +392,21 @@ def get_info(frame, bytesoftype: int):
     return dsize, super_block_size(bytesoftype * 256) << shift, 8
 
 
+def _host_block_decode(payload, bpp, dsize):
+    """Host block-stream decode: native C++ when available, python fallback."""
+    from .native import lib as native
+
+    if native is not None:
+        return native.block_decode(bytes(memoryview(np.asarray(payload))),
+                                   bpp, dsize)
+    return block_codec_decode(payload, bpp, dsize)
+
+
 def decompress_superblock(code, payload, bpp, dsize, engine=None):
     """decompress_generic_superblock (stenos.cpp:681-753)."""
     if code == METHOD_BLOCK:
         r = (engine.decode_block_stream(payload, bpp, dsize) if engine
-             else block_codec_decode(payload, bpp, dsize))
+             else _host_block_decode(payload, bpp, dsize))
         if isinstance(r, int):
             raise StenosError(ERROR_INVALID_INPUT)
         return r
@@ -421,7 +431,7 @@ def decompress_superblock(code, payload, bpp, dsize, engine=None):
             raise StenosError(ERROR_INVALID_INPUT)
         rr = (engine.decode_block_stream(np.frombuffer(r, np.uint8), bpp, dsize)
               if engine else
-              block_codec_decode(np.frombuffer(r, np.uint8), bpp, dsize))
+              _host_block_decode(np.frombuffer(r, np.uint8), bpp, dsize))
         if isinstance(rr, int):
             raise StenosError(ERROR_INVALID_INPUT)
         return rr
