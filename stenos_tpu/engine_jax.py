@@ -452,21 +452,12 @@ def expand_rows(xp, win, rel, W: int = 18):
     shift = xp.where(dest_ok, target - j[None, :], 0)
     v = win.astype(i32) & 255
     w = xp.where(dest_ok, v | (shift << 8) | (1 << 30), 0)
+    from .ops.compact import shift_right_packed
+
     out_w = Lw + 16 * W
     pad = xp.zeros(win.shape[:-1] + (out_w - Lw,), i32)
     w = xp.concatenate([w, pad], axis=-1)
-    k = 1
-    stages = []
-    while k < out_w:
-        stages.append(k)
-        k <<= 1
-    for bit in reversed(stages):
-        moved = xp.roll(w, bit, axis=-1)
-        head = xp.arange(out_w, dtype=i32) < bit
-        moved = xp.where(head, 0, moved)
-        arrive = ((moved >> 8) & bit) != 0
-        stay = (w != 0) & (((w >> 8) & bit) == 0)
-        w = xp.where(arrive, moved - (bit << 8), xp.where(stay, w, 0))
+    w = shift_right_packed(xp, w, out_w)
     out = (w & 255)[..., Lw:]
     return out.reshape(out.shape[:-1] + (16, W))
 

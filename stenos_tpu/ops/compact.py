@@ -20,11 +20,28 @@ stream byte s right to its destination lane.
 """
 
 
+RADIX_BITS = 2  # radix-4 stages: half the passes of radix-2
+
+
 def _stages(width: int) -> int:
     s = 0
     while (1 << s) < width:
         s += 1
     return s
+
+
+def _digit_stages(width: int):
+    """(shift_bits, digit) pairs for radix-2**RADIX_BITS moves, low digit
+    first. The collision-freedom proof generalizes: before stage k remaining
+    shifts are multiples of R^k; a collision would need two same-stage
+    movers whose shift difference is a positive multiple of R^k smaller
+    than the digit delta times R^k — impossible mod R^(k+1)."""
+    out = []
+    k = 0
+    while (1 << k) < width:
+        out.append(k)
+        k += RADIX_BITS
+    return out
 
 
 def compact(xp, values, valid, width: int | None = None):
@@ -41,15 +58,19 @@ def compact(xp, values, valid, width: int | None = None):
     pos = xp.arange(W, dtype=xp.int32)
     shift = xp.where(val.astype(bool), pos - (inc - 1), 0)
     w = xp.where(val.astype(bool), v | (shift << 8) | (1 << 30), 0)
-    for k in range(_stages(width or W)):
-        bit = 1 << k
-        moved = xp.roll(w, -bit, axis=-1)
-        # roll wraps; lanes pulled from beyond the end must not move in
-        tail = xp.arange(W, dtype=xp.int32) >= W - bit
-        moved = xp.where(tail, 0, moved)
-        arrive = ((moved >> 8) & bit) != 0
-        stay = (w != 0) & (((w >> 8) & bit) == 0)
-        w = xp.where(arrive, moved - (bit << 8), xp.where(stay, w, 0))
+    lanes = xp.arange(W, dtype=xp.int32)
+    mask_d = (1 << RADIX_BITS) - 1
+    for k in _digit_stages(width or W):
+        base = 1 << k
+        new = xp.where((w != 0) & ((((w >> 8) >> k) & mask_d) == 0), w, 0)
+        for d in range(1, 1 << RADIX_BITS):
+            step = d * base
+            moved = xp.roll(w, -step, axis=-1)
+            moved = xp.where(lanes >= W - step, 0, moved)
+            arrive = (((moved >> 8) >> k) & mask_d) == d
+            new = xp.where(arrive & (moved != 0),
+                           moved - (step << 8), new)
+        w = new
     return w & 255, inc[..., -1]
 
 
@@ -88,18 +109,29 @@ def expand(xp, stream, starts, window: int):
     w = xp.where(dest_ok, v | (shift << 8) | (1 << 30), 0)
     pad = xp.zeros(stream.shape[:-1] + (out_w - L,), xp.int32)
     w = xp.concatenate([w, pad], axis=-1)
-    # NB descending bit order: the mirror of compaction's ascending schedule
-    # (right-moves with non-decreasing shifts collide under ascending order)
-    for k in reversed(range(_stages(out_w))):
-        bit = 1 << k
-        moved = xp.roll(w, bit, axis=-1)
-        head = xp.arange(out_w, dtype=xp.int32) < bit
-        moved = xp.where(head, 0, moved)
-        arrive = ((moved >> 8) & bit) != 0
-        stay = (w != 0) & (((w >> 8) & bit) == 0)
-        w = xp.where(arrive, moved - (bit << 8), xp.where(stay, w, 0))
+    w = shift_right_packed(xp, w, out_w)
     out = (w & 255)[..., L:]
     return out.reshape(out.shape[:-1] + (n_seg, W))
+
+
+def shift_right_packed(xp, w, out_w: int):
+    """Move packed lanes (value | shift<<8, nonzero=occupied) RIGHT by their
+    shifts; descending digit order (the mirror of compaction's ascending
+    schedule — right-moves with non-decreasing shifts collide otherwise)."""
+    lanes = xp.arange(out_w, dtype=xp.int32)
+    mask_d = (1 << RADIX_BITS) - 1
+    for k in reversed(_digit_stages(out_w)):
+        base = 1 << k
+        new = xp.where((w != 0) & ((((w >> 8) >> k) & mask_d) == 0), w, 0)
+        for d in range(1, 1 << RADIX_BITS):
+            step = d * base
+            moved = xp.roll(w, step, axis=-1)
+            moved = xp.where(lanes < step, 0, moved)
+            arrive = (((moved >> 8) >> k) & mask_d) == d
+            new = xp.where(arrive & (moved != 0),
+                           moved - (step << 8), new)
+        w = new
+    return w
 
 
 def fill_left(xp, values, have, width: int = 16):

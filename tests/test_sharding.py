@@ -1,0 +1,65 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import stenos_tpu as st
+from conftest import gen_elements
+
+
+needs_mesh = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@needs_mesh
+def test_sharded_encode_matches_single(rng):
+    from stenos_tpu.parallel import make_mesh, encode_superblocks_sharded
+    from stenos_tpu.engine_jax import encode_superblocks_jit
+
+    bpp = 4
+    sb = 256 * bpp * 4
+    n_sb = 16
+    data = gen_elements(rng, bpp, (n_sb * sb) // bpp, "sorted")
+    batch = np.frombuffer(data, np.uint8).reshape(n_sb, sb)
+
+    mesh = make_mesh(8)
+    out_s, tot_s, bs_s, fs_s = encode_superblocks_sharded(mesh, batch, bpp)
+    out_1, tot_1, bs_1, fs_1 = encode_superblocks_jit(batch, bpp, 2)
+    assert (np.asarray(tot_s) == np.asarray(tot_1)).all()
+    assert (np.asarray(out_s) == np.asarray(out_1)).all()
+
+
+@needs_mesh
+def test_sharded_compress_step(rng):
+    from stenos_tpu.parallel import make_mesh, sharded_compress_step
+
+    bpp = 4
+    sb = 256 * bpp * 2
+    n_sb = 8
+    data = gen_elements(rng, bpp, (n_sb * sb) // bpp, "sorted")
+    batch = np.frombuffer(data, np.uint8).reshape(n_sb, sb)
+    mesh = make_mesh(8)
+    gathered, totals, offsets = sharded_compress_step(mesh, batch, bpp)
+    gathered = np.asarray(gathered)
+    totals = np.asarray(totals)
+    # the gathered per-superblock streams decode back to the inputs
+    from stenos_tpu.frame import _host_block_decode
+
+    for i in range(n_sb):
+        out = _host_block_decode(bytes(gathered[i][: totals[i]]), bpp, sb)
+        assert not isinstance(out, int)
+        assert out.tobytes() == batch[i].tobytes()
+    # offsets are the exclusive prefix over framed sizes
+    sizes = totals + 4
+    expect = 8 + np.cumsum(sizes) - sizes
+    assert (np.asarray(offsets) == expect).all()
+
+
+@needs_mesh
+def test_graft_dryrun():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
