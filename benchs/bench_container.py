@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""CompressedArray ops benchmark — the bench_cvector protocol (reference:
+benchs/bench_cvector.cpp:144-673): push_back/extend, random index, iterate,
+bulk apply, shuffle->sort ratio tracking vs plain numpy."""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from stenos_tpu.container import CompressedArray
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--level", type=int, default=1)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(3)
+    data = np.sort(rng.integers(0, 1 << 30, args.n).astype(np.int32))
+
+    def t(label, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        print(f"{label:>28}: {(time.perf_counter()-t0)*1000:9.1f} ms")
+        return r
+
+    v = CompressedArray(np.int32, block_shift=4, level=args.level)
+    t("extend (bulk append)", lambda: v.extend(data))
+    print(f"{'compression ratio':>28}: {v.current_compression_ratio():9.2f}")
+
+    idx = rng.integers(0, args.n, 10000)
+    t("10k random reads", lambda: [v[int(i)] for i in idx[:10000]])
+    t("bulk apply (sum)", lambda: v.apply(lambda c: None))
+    t("to_numpy", v.to_numpy)
+
+    # shuffle -> ratio degrades -> sort -> ratio recovers (bench_cvector.cpp)
+    shuffled = data.copy()
+    rng.shuffle(shuffled)
+    w = CompressedArray(np.int32, block_shift=4, level=args.level)
+    w.extend(shuffled)
+    w.serialize()
+    print(f"{'ratio after shuffle':>28}: {w.current_compression_ratio():9.2f}")
+    w2 = CompressedArray(np.int32, block_shift=4, level=args.level)
+    w2.extend(np.sort(shuffled))
+    w2.serialize()
+    print(f"{'ratio after sort':>28}: {w2.current_compression_ratio():9.2f}")
+
+    blob = t("serialize", v.serialize)
+    print(f"{'serialized bytes':>28}: {len(blob):9d}")
+    t("deserialize (adopt)", lambda: CompressedArray.deserialize(
+        blob, np.int32, level=args.level))
+
+
+if __name__ == "__main__":
+    main()

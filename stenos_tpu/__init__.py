@@ -19,6 +19,22 @@ from .frame import (
 
 __version__ = "0.1.0"
 
+
+def default_engine():
+    """Backend selection — the TPU-world analog of the reference's CPUID
+    runtime dispatch (simd.h:199-258): JaxEngine when an accelerator is
+    present, the native-C++/numpy host path otherwise (None)."""
+    try:
+        import jax
+
+        if jax.devices()[0].platform not in ("cpu",):
+            from .engine_jax import JaxEngine
+
+            return JaxEngine()
+    except Exception:
+        pass
+    return None
+
 __all__ = [
     "compress",
     "decompress",
