@@ -4,12 +4,17 @@
 Headline: block-codec encode GB/s per chip on the BASELINE config (sorted
 int32, level-1/2 block path) with data device-resident — the apples-to-apples
 counterpart of the reference's RAM-to-RAM single-thread numbers
-(~2 GB/s encode / ~3 GB/s decode, README.md:12 of the reference). Decode
-kernel GB/s, host parse rate and compression parity are extra fields.
+(~2 GB/s encode / ~3 GB/s decode, README.md:12 of the reference). Encode runs
+the Pallas mega-kernel (analysis + emission + compaction in VMEM) over
+STENOS_BENCH_MB of data; decode-kernel GB/s, host parse rate and compression
+parity are extra fields (measured on a smaller slice until the decode
+mega-kernel lands).
 
 Timing integrity: this environment's relay reports arrays "ready" before the
-computation finished, so every timed call is forced through a device-side
-checksum whose scalar is fetched to the host — nothing can be skipped.
+computation finished, and each jit dispatch costs ~27 ms round-trip; every
+timed call is forced through a device-side checksum whose scalar is fetched
+to the host — nothing can be skipped — and the input is sized to amortize
+the dispatch latency.
 """
 
 import json
@@ -25,10 +30,17 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_compilation"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-MB = int(os.environ.get("STENOS_BENCH_MB", "16"))
+MB = int(os.environ.get("STENOS_BENCH_MB", "256"))
+PARITY_MB = int(os.environ.get("STENOS_BENCH_PARITY_MB", "16"))
 BPP = 4
 SB = 131072
 REPS = int(os.environ.get("STENOS_BENCH_REPS", "3"))
+
+
+def _timed(fn):
+    t = time.perf_counter()
+    fn()
+    return time.perf_counter() - t
 
 
 def main():
@@ -54,11 +66,13 @@ def main():
     batch_dev = jax.device_put(batch, dev)
     jax.block_until_ready(batch_dev)
 
-    # --- encode kernel (device-resident streams + sizes), checksum-forced
+    # --- encode kernel (device-resident frame rows + sizes), checksum-forced
     @jax.jit
     def enc_forced(x):
         rows, sizes, offs = _encode_with_headers_jit(x, BPP, 1)
-        return rows, sizes, jnp.sum(rows.astype(jnp.uint32)) + jnp.sum(sizes)
+        chk = (jnp.sum(rows[:, :64].astype(jnp.uint32)) + jnp.sum(sizes)
+               + jnp.sum(offs))
+        return rows, sizes, chk
 
     rows, sizes, chk = enc_forced(batch_dev)
     int(chk)  # warm + force
@@ -67,19 +81,22 @@ def main():
     )
     enc_gbps = nbytes / t_enc / 1e9
 
-    # materialize the frame on host for parity + decode input
-    host_frame = st.compress(raw, BPP, 1)
-    rows_h = np.asarray(rows)
     sizes_h = np.asarray(sizes)
+    ratio = nbytes / (8 + int(sizes_h.sum()))
+
+    # --- parity + decode on a smaller slice (host oracle is 1-core python)
+    pbytes = PARITY_MB * 1024 * 1024
+    pn_sb = pbytes // SB
+    praw = raw[:pbytes]
+    host_frame = st.compress(praw, BPP, 1)
+    rows_h = np.asarray(rows[:pn_sb])
     frame = bytearray()
     frame += host_frame[:8]
-    for i in range(n_sb):
+    for i in range(pn_sb):
         frame += bytes(rows_h[i][: sizes_h[i]])
     frame = bytes(frame)
     parity = frame == host_frame
-    ratio = nbytes / len(frame)
 
-    # --- decode: host row-parse once, then time the device kernel
     dec_kernel_gbps = 0.0
     host_parse_gbps = 0.0
     ok_decode = False
@@ -99,10 +116,10 @@ def main():
             mns.append(rm)
             pos += 4 + csize
         t_parse = time.perf_counter() - t0
-        host_parse_gbps = nbytes / t_parse / 1e9
+        host_parse_gbps = pbytes / t_parse / 1e9
 
         bucket = _bucket(max(len(b) for b in bufs))
-        vbufs = np.zeros((n_sb, bucket), np.uint8)
+        vbufs = np.zeros((pn_sb, bucket), np.uint8)
         for i, b in enumerate(bufs):
             vbufs[i, : len(b)] = b
         args = [
@@ -123,10 +140,10 @@ def main():
         t_dec = min(
             _timed(lambda: int(dec_forced(*args)[1])) for _ in range(REPS)
         )
-        dec_kernel_gbps = nbytes / t_dec / 1e9
-        out = np.asarray(planes).reshape(n_sb * nb, BPP, 256)
+        dec_kernel_gbps = pbytes / t_dec / 1e9
+        out = np.asarray(planes).reshape(pn_sb * nb, BPP, 256)
         out = out.transpose(0, 2, 1).reshape(-1)
-        ok_decode = out.tobytes() == raw.tobytes()
+        ok_decode = out.tobytes() == praw.tobytes()
 
     print(json.dumps({
         "metric": "block codec encode GB/s per chip (sorted int32, "
@@ -142,16 +159,11 @@ def main():
             "frame_equals_reference_bitexact_path": bool(parity),
             "decode_roundtrip_ok": bool(ok_decode),
             "input_mb": MB,
+            "parity_slice_mb": PARITY_MB,
             "device": str(jax.devices()[0]),
             "timing": "checksum-forced (relay-async-safe)",
         },
     }))
-
-
-def _timed(fn):
-    t = time.perf_counter()
-    fn()
-    return time.perf_counter() - t
 
 
 if __name__ == "__main__":

@@ -115,6 +115,58 @@ encode_superblocks_jit = partial(
 )(encode_superblocks_body)
 
 
+def _use_pallas() -> bool:
+    """Pallas mega-kernel on real TPU; the XLA pipeline elsewhere (CPU tests
+    / sharded dry runs). STENOS_PALLAS=0/1 overrides."""
+    import os
+
+    v = os.environ.get("STENOS_PALLAS")
+    if v is not None:
+        return v not in ("0", "false")
+    return jax.default_backend() == "tpu"
+
+
+def encode_superblocks_pallas(batch: np.ndarray, bpp: int, block_level: int):
+    """Slab-split Pallas encode of (n_sb, sb) full superblocks.
+
+    Returns (streams, totals, bsizes, fsizes) matching
+    encode_superblocks_body's contract (streams exclude the 4B method
+    header), as host numpy arrays. streams rows are padded; totals give the
+    valid length. Returns None when the shape doesn't fit the kernel."""
+    from .ops.encode_pallas import encode_slabs_jit, slab_nb
+
+    n_sb, sb = batch.shape
+    block_size = 256 * bpp
+    if sb % block_size:
+        return None
+    nb = sb // block_size
+    snb = slab_nb(nb)
+    if snb is None:
+        return None
+    slabs = nb // snb
+    slab_bytes = snb * block_size
+    rows, totals, bsizes, fsizes = encode_slabs_jit(
+        batch.reshape(n_sb * slabs, slab_bytes), bpp, block_level)
+    rows = np.asarray(rows)
+    totals = np.asarray(totals)
+    bsizes = np.asarray(bsizes).reshape(n_sb, nb)
+    fsizes = np.asarray(fsizes).reshape(n_sb, nb)
+    if slabs == 1:
+        streams = rows[:, 4:]
+        return streams, totals - 4, bsizes, fsizes
+    # concatenate slab streams per superblock (strip each slab's 4B header)
+    out_tot = totals.reshape(n_sb, slabs) - 4
+    max_out = int(out_tot.sum(axis=1).max())
+    streams = np.zeros((n_sb, max_out), np.uint8)
+    for i in range(n_sb):
+        pos = 0
+        for s in range(slabs):
+            t = int(out_tot[i, s])
+            streams[i, pos : pos + t] = rows[i * slabs + s][4 : 4 + t]
+            pos += t
+    return streams, out_tot.sum(axis=1), bsizes, fsizes
+
+
 class JaxEngine:
     """Engine adapter for frame.py: device compute + host patch-up."""
 
@@ -133,12 +185,17 @@ class JaxEngine:
         if n_full == 0 or sb % block_size:
             return [None] * n_sb
         batch = np.asarray(data[: n_full * sb]).reshape(n_full, sb)
-        out, total, bsizes, fsizes = encode_superblocks_jit(
-            batch, bpp, block_level)
-        out = np.asarray(out)
-        total = np.asarray(total)
-        bsizes = np.asarray(bsizes)
-        fsizes = np.asarray(fsizes)
+        r = (encode_superblocks_pallas(batch, bpp, block_level)
+             if _use_pallas() else None)
+        if r is not None:
+            out, total, bsizes, fsizes = r
+        else:
+            out, total, bsizes, fsizes = encode_superblocks_jit(
+                batch, bpp, block_level)
+            out = np.asarray(out)
+            total = np.asarray(total)
+            bsizes = np.asarray(bsizes)
+            fsizes = np.asarray(fsizes)
         pre = [
             (out[i], int(total[i]), bsizes[i], fsizes[i])
             for i in range(n_full)
@@ -179,9 +236,11 @@ class JaxEngine:
         body = b""
         if nb:
             full = np.asarray(chunk[: nb * block_size]).reshape(1, -1)
-            out, total, bsizes, fsizes = encode_superblocks_jit(
-                full, bpp, block_level
-            )
+            r = (encode_superblocks_pallas(full, bpp, block_level)
+                 if _use_pallas() else None)
+            if r is None:
+                r = encode_superblocks_jit(full, bpp, block_level)
+            out, total, bsizes, fsizes = r
             out = np.asarray(out[0])
             total = int(total[0])
             bsizes = np.asarray(bsizes[0])
@@ -335,8 +394,21 @@ def decompress_frame_batched(frame: bytes, bpp: int, engine=None):
 
 @partial(jax.jit, static_argnames=("bpp", "level"))
 def _encode_with_headers_jit(data, bpp: int, level: int):
-    """Per-superblock [method(1) size(u24) stream] rows + frame offsets."""
+    """Per-superblock [method(1) size(u24) stream] rows + frame offsets.
+
+    On TPU the Pallas mega-kernel emits the 4-byte method/size header as part
+    of its compacted stream; the XLA pipeline (CPU tests) prepends it here.
+    """
     n_sb, sb = data.shape
+    if _use_pallas():
+        from .ops.encode_pallas import encode_slabs_body, slab_nb
+
+        nb = sb // (256 * bpp)
+        if slab_nb(nb) == nb:
+            rows, totals, _, _ = encode_slabs_body(data, bpp, 2)
+            sizes = totals
+            offs = 8 + jnp.cumsum(sizes) - sizes
+            return rows, sizes, offs.astype(jnp.int32)
     out, total, _, _ = encode_superblocks_body(data, bpp, 2)
     hdr4 = jnp.stack(
         [
