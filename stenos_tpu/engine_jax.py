@@ -126,13 +126,18 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+_PALLAS_SHAPE_FAILURES = set()
+
+
 def encode_superblocks_pallas(batch: np.ndarray, bpp: int, block_level: int):
     """Slab-split Pallas encode of (n_sb, sb) full superblocks.
 
     Returns (streams, totals, bsizes, fsizes) matching
     encode_superblocks_body's contract (streams exclude the 4B method
     header), as host numpy arrays. streams rows are padded; totals give the
-    valid length. Returns None when the shape doesn't fit the kernel."""
+    valid length. Returns None when the shape doesn't fit the kernel
+    (including Mosaic VMEM-packing failures on awkward odd-nb shapes, which
+    are cached and routed to the XLA pipeline)."""
     from .ops.encode_pallas import encode_slabs_jit, slab_nb
 
     n_sb, sb = batch.shape
@@ -143,10 +148,17 @@ def encode_superblocks_pallas(batch: np.ndarray, bpp: int, block_level: int):
     snb = slab_nb(nb)
     if snb is None:
         return None
+    key = ("enc", bpp, snb, block_level)
+    if key in _PALLAS_SHAPE_FAILURES:
+        return None
     slabs = nb // snb
     slab_bytes = snb * block_size
-    rows, totals, bsizes, fsizes = encode_slabs_jit(
-        batch.reshape(n_sb * slabs, slab_bytes), bpp, block_level)
+    try:
+        rows, totals, bsizes, fsizes = encode_slabs_jit(
+            batch.reshape(n_sb * slabs, slab_bytes), bpp, block_level)
+    except Exception:
+        _PALLAS_SHAPE_FAILURES.add(key)
+        return None
     rows = np.asarray(rows)
     totals = np.asarray(totals)
     bsizes = np.asarray(bsizes).reshape(n_sb, nb)
@@ -340,6 +352,10 @@ def decompress_frame_batched(frame: bytes, bpp: int, engine=None):
     path): parse all superblocks on the host (C++ index builder), concatenate
     payload+patches, and run a single decode_blocks_jit over all blocks.
 
+    On TPU this uses the Pallas decode mega-kernel (ops/decode_pallas.py) fed
+    by the batched C++ row parser; elsewhere it falls back to the XLA
+    log-shift expansion decoder.
+
     Returns a numpy array, or None when the frame shape doesn't fit the fast
     path (caller falls back to frame.decompress).
     """
@@ -355,6 +371,40 @@ def decompress_frame_batched(frame: bytes, bpp: int, engine=None):
         return None
     n_sb = dsize_total // sb
     nb = sb // block_size
+
+    if (_use_pallas() and (bpp % 4 == 0 or bpp == 2)
+            and sb // 256 <= 1024 and hasattr(native, "parse_rows_batch")):
+        offs, csizes = [], []
+        p = pos
+        for _ in range(n_sb):
+            if p + 4 > len(frame) or frame[p] != 1:
+                break
+            csize = int.from_bytes(frame[p + 1 : p + 4], "little")
+            offs.append(p + 4)
+            csizes.append(csize)
+            p += 4 + csize
+        if len(offs) == n_sb:
+            row_bytes = _bucket125(max(csizes) + 512)
+            bufs = _parse_bufs(n_sb, row_bytes, sb // 256)
+            r = native.parse_rows_batch(frame, bpp, sb, offs, csizes,
+                                        row_bytes, bufs=bufs)
+            if not isinstance(r, int):
+                from .ops.decode_pallas import decode_slabs_jit
+
+                key = ("dec", bpp, nb)
+                if key in _PALLAS_SHAPE_FAILURES:
+                    return None
+                # explicit device_put: handing numpy straight to the jit
+                # dispatch goes through a pathologically slow relay path
+                dev = jax.devices()[0]
+                args = [jax.device_put(x, dev) for x in r]
+                try:
+                    words = decode_slabs_jit(*args, bpp, nb)
+                    out = np.ascontiguousarray(np.asarray(words))
+                except Exception:
+                    _PALLAS_SHAPE_FAILURES.add(key)
+                    return None
+                return out.view(np.uint8).reshape(-1)
 
     bufs, poffs, rels, hdrs, mns = [], [], [], [], []
     for _ in range(n_sb):
@@ -495,6 +545,36 @@ def _bucket(n: int) -> int:
     b = 4096
     while b < n:
         b *= 2
+    return b
+
+
+_PARSE_BUF_CACHE = {}
+
+
+def _parse_bufs(n_sb: int, row_bytes: int, P: int):
+    """Double-buffered page-warm parse output arrays (alternating pair so an
+    in-flight async device_put is never overwritten by the next parse)."""
+    key = (n_sb, row_bytes, P)
+    entry = _PARSE_BUF_CACHE.get(key)
+    if entry is None:
+        entry = [0, []]
+        for _ in range(2):
+            entry[1].append((
+                np.empty((n_sb, row_bytes), np.uint8),
+                np.empty((n_sb, P), np.int32),
+                np.empty((n_sb, 16, P), np.int32),
+            ))
+        _PARSE_BUF_CACHE[key] = entry
+    entry[0] ^= 1
+    return entry[1][entry[0]]
+
+
+def _bucket125(n: int) -> int:
+    """Geometric ~1.25x buckets rounded to 512: bounds both shape variety
+    (compile cache) and H2D padding waste (<= 25%)."""
+    b = 4096
+    while b < n:
+        b = -(-(b + b // 4) // 512) * 512
     return b
 
 

@@ -452,6 +452,14 @@ def decompress(frame, bytesoftype: int, dst_size=None, engine=None):
         raise StenosError(ERROR_INVALID_BYTESOFTYPE)
     frame = np.frombuffer(bytes(frame), np.uint8) if not isinstance(
         frame, np.ndarray) else frame
+    if engine is not None and hasattr(engine, "decode_block_stream"):
+        from .engine_jax import decompress_frame_batched
+
+        r = decompress_frame_batched(frame.tobytes(), bytesoftype, engine)
+        if r is not None:
+            if dst_size is not None and len(r) > dst_size:
+                raise StenosError(ERROR_DST_OVERFLOW)
+            return r
     dsize_total, sb, hlen = get_info(frame.tobytes()[:12], bytesoftype)
     if dst_size is not None and dsize_total > dst_size:
         raise StenosError(ERROR_DST_OVERFLOW)

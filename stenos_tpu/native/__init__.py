@@ -45,6 +45,12 @@ class _Native:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        cdll.stn_parse_rows_batch.restype = ctypes.c_ssize_t
+        cdll.stn_parse_rows_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
 
     def lz4_guess_size(self, data, accel: int) -> int:
         data = bytes(data)
@@ -134,6 +140,39 @@ class _Native:
             if tail_info[1] else np.zeros(0, np.uint8)
         return (vbuf, plane_off, row_rel.reshape(P, 16),
                 row_hdr.reshape(P, 16), row_min.reshape(P, 16), tail, int(r))
+
+    def parse_rows_batch(self, frame, bpp: int, sb: int, offs, csizes,
+                         row_bytes: int, bufs=None):
+        """Batched decode index for full method-BLOCK superblocks.
+
+        frame: whole frame bytes; offs/csizes: per-superblock payload spans.
+        Returns (vbufs (n,row_bytes) u8, plane_off (n,P) i32,
+        rowtab (n,16,P) i32 packed rel|hdr<<10|min<<14) or a negative error.
+        bufs: optional preallocated (vbufs, plane_off, rowtab) to write into
+        (page-warm reuse — fresh allocations fault ~40 MB/call on this host).
+        """
+        import numpy as np
+
+        frame = bytes(frame)
+        n_sb = len(offs)
+        P = sb // 256
+        if bufs is not None:
+            vbufs, plane_off, rowtab = bufs
+        else:
+            vbufs = np.empty((n_sb, row_bytes), np.uint8)
+            plane_off = np.empty((n_sb, P), np.int32)
+            rowtab = np.empty((n_sb, 16, P), np.int32)
+        offs = np.ascontiguousarray(offs, np.int64)
+        csizes = np.ascontiguousarray(csizes, np.int64)
+        scratch = np.empty(512 * bpp + 16, np.uint8)
+        as_p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        r = self._lib.stn_parse_rows_batch(
+            frame, len(frame), bpp, sb, n_sb, as_p(offs), as_p(csizes),
+            row_bytes, as_p(vbufs), as_p(plane_off), as_p(rowtab),
+            as_p(scratch))
+        if r < 0:
+            return int(r)
+        return vbufs, plane_off, rowtab
 
     def block_decode(self, src, bpp: int, nbytes: int):
         """Decode a block stream -> numpy uint8 array or negative error."""

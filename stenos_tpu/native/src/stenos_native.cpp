@@ -678,6 +678,154 @@ ptrdiff_t parse_plane_rows(const uint8_t* src, ptrdiff_t avail, bool rle_mins,
 
 }  // namespace
 
+namespace {
+
+// Packed-row-record plane parse: rowtab[r * rt_stride] = rel|hdr<<10|min<<14.
+inline ptrdiff_t parse_plane_rows_packed(const uint8_t* src, ptrdiff_t avail,
+                                         bool rle_mins, int32_t* rowtab,
+                                         size_t rt_stride) {
+    if (avail < 8) return -1;
+    uint8_t headers[16];
+    for (int i = 0; i < 8; ++i) {
+        headers[2 * i] = src[i] & 15;
+        headers[2 * i + 1] = src[i] >> 4;
+    }
+    ptrdiff_t pos = 8;
+    uint8_t mins[16] = {0};
+    if (rle_mins) {
+        ptrdiff_t r = rle_row(src + pos, avail - pos, mins, 0);
+        if (r < 0) return -1;
+        pos += r;
+    } else {
+        for (int i = 0; i < 16; ++i) {
+            const uint8_t h = headers[i];
+            if (h != 6 && h != 7 && h != 15) {
+                if (pos >= avail) return -1;
+                mins[i] = src[pos++];
+            }
+        }
+    }
+    static const int kSize[16] = {0, 2, 4, 6, 8, 10, 12, -1,
+                                  0, 2, 4, 6, 8, 10, 12, 16};
+    for (int r = 0; r < 16; ++r) {
+        const uint8_t h = headers[r];
+        rowtab[r * rt_stride] =
+            (int32_t)pos | ((int32_t)h << 10) | ((int32_t)mins[r] << 14);
+        if (h == 6 || h == 7) {
+            if (pos + 2 > avail) return -1;
+            const uint32_t mask =
+                (uint32_t)src[pos] | ((uint32_t)src[pos + 1] << 8);
+            pos += 2 + __builtin_popcount(~mask & 0xFFFFu);
+        } else {
+            pos += kSize[h];
+        }
+        if (pos > avail) return -1;
+    }
+    return pos;
+}
+
+}  // namespace
+
+// Batched full-superblock parse for the Pallas decoder: one call per frame.
+// For each of n_sb method-BLOCK payloads at frame+offs[i] (csizes[i] bytes,
+// all decoding to exactly sb bytes), writes
+//   vbufs    (n_sb, row_bytes)  virtual payload (LZ/COPY blocks replaced
+//                               inline by their decoded shuffled planes)
+//   plane_off(n_sb, P)          virtual plane start offsets
+//   rowtab   (n_sb, 16, P)      packed row records rel | hdr<<10 | min<<14
+// P = sb/256. Returns 0 or a negative error code.
+EXPORT ptrdiff_t stn_parse_rows_batch(
+    const uint8_t* frame, size_t frame_size, size_t bpp, size_t sb,
+    size_t n_sb, const int64_t* offs, const int64_t* csizes,
+    size_t row_bytes, uint8_t* vbufs, int32_t* plane_off, int32_t* rowtab,
+    uint8_t* scratch /* >= 512*bpp */) {
+    const size_t hdr_w = (bpp + 1) / 2;
+    const size_t block_size = 256 * bpp;
+    const size_t nb = sb / block_size;
+    const size_t P = nb * bpp;
+    for (size_t i = 0; i < n_sb; ++i) {
+        const uint8_t* src = frame + offs[i];
+        const ptrdiff_t n = (ptrdiff_t)csizes[i];
+        if (offs[i] + csizes[i] > (int64_t)frame_size) return ERR_SRC;
+        uint8_t* vb = vbufs + i * row_bytes;
+        int32_t* po = plane_off + i * P;
+        int32_t* rt = rowtab + i * 16 * P;
+        ptrdiff_t pos = 0;    // read position in src
+        size_t vpos = 0;      // write position in vb
+        ptrdiff_t seg = 0;    // start of pending verbatim segment
+        for (size_t b = 0; b < nb; ++b) {
+            if (pos >= n) return ERR_SRC;
+            const uint8_t marker = src[pos];
+            int32_t* bpo = po + b * bpp;
+            int32_t* brt = rt + b * bpp * 16;
+            if (marker == 252 || marker == 253) {  // COPY / LZ -> inline
+                const size_t keep = (size_t)(pos - seg);
+                if (vpos + keep + block_size > row_bytes) return ERR_INPUT;
+                std::memcpy(vb + vpos, src + seg, keep);
+                vpos += keep;
+                ++pos;
+                uint8_t* dec = scratch;
+                if (marker == 252) {
+                    if (pos + (ptrdiff_t)block_size > n) return ERR_SRC;
+                    std::memcpy(dec, src + pos, block_size);
+                    pos += block_size;
+                } else {
+                    ptrdiff_t c = lz_block(src + pos, n - pos, bpp, dec);
+                    if (c < 0) return ERR_INPUT;
+                    pos += c;
+                }
+                seg = pos;
+                for (size_t p = 0; p < bpp; ++p) {
+                    uint8_t* dst = vb + vpos + p * 256;
+                    for (size_t e = 0; e < 256; ++e) dst[e] = dec[e * bpp + p];
+                    bpo[p] = (int32_t)(vpos + p * 256);
+                    for (int r = 0; r < 16; ++r)
+                        rt[(size_t)r * P + b * bpp + p] =
+                            (int32_t)(r * 16) | (15 << 10);
+                }
+                vpos += block_size;
+                continue;
+            }
+            if (pos + (ptrdiff_t)hdr_w >= n) return ERR_SRC;
+            const uint8_t* codes = src + pos;
+            const int64_t vdelta = (int64_t)vpos - seg;
+            pos += hdr_w;
+            for (size_t p = 0; p < bpp; ++p) {
+                const int code = (codes[p >> 1] >> (4 * (p & 1))) & 15;
+                const size_t pg = b * bpp + p;
+                bpo[p] = (int32_t)(pos + vdelta);
+                int32_t* prt = rt + pg;
+                if (code == 0) {  // ALL_SAME
+                    if (pos >= n) return ERR_SRC;
+                    const int32_t v = src[pos++];
+                    const int32_t rec = 1 | (v << 14);
+                    for (int r = 0; r < 16; ++r) prt[(size_t)r * P] = rec;
+                } else if (code == 1) {  // ALL_RAW
+                    if (pos + 256 > n) return ERR_SRC;
+                    for (int r = 0; r < 16; ++r)
+                        prt[(size_t)r * P] = (int32_t)(r * 16) | (15 << 10);
+                    pos += 256;
+                } else if (code == 2 || code == 3) {
+                    int32_t tmp[16];
+                    ptrdiff_t c = parse_plane_rows_packed(
+                        src + pos, n - pos, code == 3, tmp, 1);
+                    if (c < 0) return ERR_SRC;
+                    for (int r = 0; r < 16; ++r) prt[(size_t)r * P] = tmp[r];
+                    pos += c;
+                } else {
+                    return ERR_INPUT;
+                }
+            }
+        }
+        const size_t keep = (size_t)(pos - seg);
+        if (vpos + keep > row_bytes) return ERR_INPUT;
+        std::memcpy(vb + vpos, src + seg, keep);
+        vpos += keep;
+        std::memset(vb + vpos, 0, row_bytes - vpos);
+    }
+    return 0;
+}
+
 EXPORT ptrdiff_t stn_parse_rows(const uint8_t* src, size_t size, size_t bpp,
                                 size_t nbytes, uint8_t* row_hdr,
                                 uint8_t* row_min, int32_t* row_rel,

@@ -1,0 +1,328 @@
+"""Single-pass Pallas decode kernel: stream -> superblock bytes in VMEM.
+
+Counterpart of encode_pallas.py for method-BLOCK payloads
+(block_decompress_sse, block_compress.h:2088-2175 — redesigned, not
+translated). The host C++ parser (stn_parse_rows*) walks only the header
+bytes and emits, per plane, a start offset and 16 packed row records
+(rel | hdr<<10 | min<<14); every byte-moving stage then runs on the TPU:
+
+  1. plane-window fetch: each plane's payload (<= 314 B) is gathered as four
+     128-byte rows via a one-hot bf16 matmul on the MXU (exact for bytes)
+     and aligned with a variable lane-rotate (7 conditional rolls) — no
+     element gathers, which XLA lowers to ~0.05 GB/s on TPU.
+  2. row expansion: within each 512-byte plane window, rows move to fixed
+     24-byte slots by an order-preserving log-shift (the mirror image of the
+     encoder's compaction; same collision-freedom argument).
+  3. dense reconstruction: bit-unpack / RLE fill-left / delta prefix-sums as
+     pure VPU math, the cross-row carry as a 16-step affine chain.
+  4. regroup: planes -> LE32 words of the natural byte order (free shifts),
+     one int32 transpose back.
+
+Supports bpp % 4 == 0 and bpp == 2 (word regroup); other widths use the
+host/XLA paths. Bit-exactness enforced by tests/test_decode_pallas.py.
+"""
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WROW = 24   # per-row window slot
+WPLANE = 512  # gathered plane window (4 x 128)
+
+
+def _iota(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _cumsum_mid(v, n=16):
+    k = 1
+    mid = _iota(v.shape, 1)
+    while k < n:
+        t = pltpu.roll(v, k, axis=1)
+        v = v + jnp.where(mid >= k, t, 0)
+        k <<= 1
+    return v
+
+
+_PACK_MAPS = {}
+
+
+def _pack_maps(b):
+    if b not in _PACK_MAPS:
+        ks = np.arange(2 * b)
+        ms = np.arange(8)
+        g = ks // b
+        kk = ks % b
+        bit = kk[:, None] * 8 + ms[None, :]
+        j = g[:, None] * 8 + bit // b
+        p = bit % b
+        inv_byte = np.zeros((16, b), np.int64)
+        inv_bit = np.zeros((16, b), np.int64)
+        for k in range(2 * b):
+            for m in range(8):
+                inv_byte[j[k, m], p[k, m]] = k
+                inv_bit[j[k, m], p[k, m]] = m
+        _PACK_MAPS[b] = (j, p, inv_byte, inv_bit)
+    return _PACK_MAPS[b]
+
+
+def make_decode_kernel(bpp: int, nb: int, R: int):
+    """Kernel body. P = nb*bpp planes; vbuf is (R, 128) payload rows."""
+    P = nb * bpp
+    Sw = 64 * bpp  # output words per block
+    EXP_W = WPLANE + 16 * WROW  # 896
+
+    import os as _os
+    _stage = int(_os.environ.get("STENOS_DEC_STAGE", "9"))
+
+    def kernel(vb_ref, po_ref, rt_ref, out_ref):
+        po = po_ref[0]        # (1, P) virtual byte offsets
+        rt = rt_ref[0]        # (16, P) packed rel | hdr<<10 | min<<14
+        rel = rt & 1023
+        hdr = (rt >> 10) & 15
+        minv = (rt >> 14) & 255
+
+        # ---- 1. plane windows: MXU one-hot row gather + lane rotate ------
+        poc = po.T  # (P, 1)
+        ridx = (poc >> 7)[:, :, None] + _iota((P, 1, 4), 2)  # (P, 1, 4)
+        ridx = jnp.minimum(ridx, R - 1)
+        oh3 = (_iota((P, 4, R), 2)
+               == ridx.reshape(P, 4)[:, :, None])  # (P, 4, R)
+        onehot = oh3.reshape(P * 4, R).astype(jnp.bfloat16)
+        # bytes are exact in bf16; Mosaic lacks a u8->bf16 cast, hop via i32
+        vbf = vb_ref[0].astype(jnp.int32).astype(jnp.bfloat16)  # (R, 128)
+        g = jax.lax.dot_general(
+            onehot, vbf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        win = g.astype(jnp.int32).reshape(P, WPLANE)
+        rot = poc & 127  # (P, 1)
+        for k in range(7):
+            bit = 1 << k
+            rolled = pltpu.roll(win, WPLANE - bit, axis=1)
+            win = jnp.where((rot & bit) != 0, rolled, win)
+
+        if _stage <= 1:
+            out_ref[0] = jnp.full((nb, Sw), jnp.sum(win), jnp.int32)
+            return
+        # ---- 2. row expansion: (P, 512) -> 16 x 24-byte slots ------------
+        wt = win.T  # (WPLANE, P)
+        j = _iota((WPLANE, P), 0)
+        owner = jnp.full((WPLANE, P), -1, jnp.int32)
+        start_of = jnp.zeros((WPLANE, P), jnp.int32)
+        for r in range(16):
+            relr = rel[r : r + 1, :]  # (1, P)
+            started = j >= relr
+            owner = owner + started.astype(jnp.int32)
+            start_of = jnp.where(started, relr, start_of)
+        inwin = j - start_of
+        ok = (owner >= 0) & (inwin < WROW)
+        # dest slots live INSIDE the 512-wide window at offset DOFF: valid
+        # rows satisfy rel_r <= 8 + 18 + 18r, so 24r - rel_r >= -26 and the
+        # shift DOFF + 24*owner + inwin - j stays >= DOFF - 26 >= 0 and
+        # non-decreasing along j (collision-freedom as in ops/compact.py) —
+        # halving the shift width vs a disjoint [512, 896) destination region
+        DOFF = 32
+        dest = DOFF + owner * WROW + inwin
+        shift = jnp.where(ok, dest - j, 0)
+        w = jnp.where(ok, (wt & 255) | (shift << 8) | (1 << 30), 0)
+        sub = _iota((WPLANE, P), 0)
+        K = (DOFF + 16 * WROW - 1).bit_length()
+        for k in reversed(range(K)):
+            step = 1 << k
+            moved = pltpu.roll(w, step, axis=0)
+            moved = jnp.where(sub < step, 0, moved)
+            arrive = (moved != 0) & ((((moved >> 8) >> k) & 1) == 1)
+            stay = (w != 0) & ((((w >> 8) >> k) & 1) == 0)
+            w = jnp.where(arrive, moved - (step << 8),
+                          jnp.where(stay, w, 0))
+        W3 = (w[DOFF : DOFF + 16 * WROW] & 255).reshape(16, WROW, P)
+        if _stage <= 2:
+            out_ref[0] = jnp.full((nb, Sw), jnp.sum(W3), jnp.int32)
+            return
+
+        # ---- 3. dense reconstruction (mirrors engine_jax._decode_rows_body)
+        h = hdr[:, None, :]  # (16, 1, P) per-row header
+        mins = minv[:, None, :]
+
+        # RLE: mask -> literal placement + fill-left
+        rmask = W3[:, 0, :] | (W3[:, 1, :] << 8)  # (16, P)
+        rbit = (rmask[:, None, :] >> _iota((16, 16, P), 1)) & 1
+        lit = rbit == 0
+        litc = _cumsum_mid(lit.astype(jnp.int32))
+        kept = jnp.concatenate(
+            [W3[:, 2 + t, :][:, None, :] for t in range(16)], axis=1)
+        placed = _expand_literals_mid(kept, lit, litc)
+        rle_vals, have = _fill_left_mid(placed, lit)
+        rle_bflag = (~have).astype(jnp.int32)
+
+        # bit-packed values
+        bitpack = ((h >= 1) & (h <= 5)) | ((h >= 9) & (h <= 14))
+        bwidth = jnp.where(bitpack, h % 8, 0)
+        vals = jnp.zeros((16, 16, P), jnp.int32)
+        for b in range(1, 7):
+            _, _, inv_byte, inv_bit = _pack_maps(b)
+            cols = []
+            for c in range(16):
+                v = jnp.zeros((16, P), jnp.int32)
+                for q in range(b):
+                    v = v | (((W3[:, int(inv_byte[c, q]), :]
+                               >> int(inv_bit[c, q])) & 1) << q)
+                cols.append(v[:, None, :])
+            vals = jnp.where(bwidth == b, jnp.concatenate(cols, axis=1), vals)
+
+        if _stage <= 3:
+            out_ref[0] = jnp.full((nb, Sw),
+                                  jnp.sum(vals) + jnp.sum(rle_vals),
+                                  jnp.int32)
+            return
+        direct_a = (vals + mins) & 255
+        delta_a = _cumsum_mid(vals + mins) & 255
+        drle_a = _cumsum_mid(rle_vals) & 255
+        raw16 = jnp.concatenate(
+            [W3[:, t, :][:, None, :] for t in range(16)], axis=1)
+        a = jnp.where(h == 15, raw16, direct_a)
+        a = jnp.where((h >= 8) & (h <= 14), delta_a, a)
+        a = jnp.where(h == 6, drle_a, a)
+        a = jnp.where(h == 7, rle_vals, a)
+        bflag = jnp.zeros((16, 16, P), jnp.int32)
+        bflag = jnp.where((h >= 8) & (h <= 14), 1, bflag)
+        bflag = jnp.where(h == 6, 1, bflag)
+        bflag = jnp.where(h == 7, rle_bflag, bflag)
+
+        # affine cross-row chain: out = a + bflag * prev_last (mod 256)
+        a15 = a[:, 15, :]        # (16, P)
+        bf15 = bflag[:, 15, :]   # (16, P)
+        pls = [jnp.zeros((1, P), jnp.int32)]
+        for r in range(15):
+            nxt = (a15[r : r + 1, :] + bf15[r : r + 1, :] * pls[-1]) & 255
+            pls.append(nxt)
+        plmat = jnp.concatenate(
+            [p.reshape(1, 1, P) for p in pls], axis=0)  # (16, 1, P)
+        planes = (a + bflag * plmat) & 255  # (16, 16, P)
+
+        # ---- 4. regroup planes -> natural-order LE32 words ---------------
+        flat = planes.reshape(256, P).T  # (P, 256): plane-major bytes
+        x = flat.reshape(nb, bpp, 256)
+        if bpp == 2:
+            el = x[:, 0, :] | (x[:, 1, :] << 8)  # (nb, 256) 16-bit elements
+            e2 = el.reshape(nb, 128, 2)
+            wds = e2[:, :, 0] | (e2[:, :, 1] << 16)
+        else:
+            q = bpp // 4
+            wts = []
+            for t in range(q):
+                wv = (x[:, 4 * t, :] | (x[:, 4 * t + 1, :] << 8)
+                      | (x[:, 4 * t + 2, :] << 16)
+                      | (x[:, 4 * t + 3, :] << 24))
+                wts.append(wv[:, :, None])
+            if q == 1:
+                wds = wts[0][:, :, 0]
+            else:
+                wds = jnp.concatenate(wts, axis=2).reshape(nb, 256 * q)
+        out_ref[0] = wds
+
+    return kernel
+
+
+def _expand_literals_mid(kept, lit, litc):
+    """Spread consecutive kept bytes to literal positions along axis=1."""
+    pos = _iota(kept.shape, 1)
+    shift = jnp.where(lit, pos - (litc - 1), 0)
+    # compact destination shifts to the source side (16-wide, along mid)
+    keep = lit.astype(jnp.int32)
+    incl = _cumsum_mid(keep)
+    cshift = jnp.where(lit, pos - (incl - 1), 0)
+    wsh = jnp.where(lit, (shift & 0xFFFF) | (cshift << 16) | (1 << 30), 0)
+    n = 16
+    for k in (1, 2, 4, 8):
+        moved = pltpu.roll(wsh, n - k, axis=1)
+        moved = jnp.where(pos < n - k, moved, 0)
+        arrive = (moved != 0) & ((((moved >> 16) >> _lg(k)) & 1) == 1)
+        stay = (wsh != 0) & ((((wsh >> 16) >> _lg(k)) & 1) == 0)
+        wsh = jnp.where(arrive, moved - (k << 16), jnp.where(stay, wsh, 0))
+    dshift = wsh & 0xFFFF  # shift for kept byte t, at mid position t
+    nlit = _cumsum_mid(lit.astype(jnp.int32))[:, 15:16, :]
+    valid = pos < nlit
+    w = jnp.where(valid, (kept & 255) | (dshift << 8) | (1 << 30), 0)
+    for k in reversed((1, 2, 4, 8)):
+        moved = pltpu.roll(w, k, axis=1)
+        moved = jnp.where(pos < k, 0, moved)
+        arrive = (moved != 0) & ((((moved >> 8) >> _lg(k)) & 1) == 1)
+        stay = (w != 0) & ((((w >> 8) >> _lg(k)) & 1) == 0)
+        w = jnp.where(arrive, moved - (k << 8), jnp.where(stay, w, 0))
+    return w & 255
+
+
+def _fill_left_mid(values, have):
+    """Propagate nearest value to the LEFT along axis=1 into empty lanes.
+
+    `have` is carried as int32 — Mosaic cannot roll i1 vectors."""
+    v = values
+    hv = have.astype(jnp.int32)
+    pos = _iota(values.shape, 1)
+    k = 1
+    while k < 16:
+        pv = pltpu.roll(v, k, axis=1)
+        ph = pltpu.roll(hv, k, axis=1)
+        ph = jnp.where(pos < k, 0, ph)
+        v = jnp.where(hv == 1, v, jnp.where(ph == 1, pv, v))
+        hv = hv | ph
+        k <<= 1
+    return v, hv == 1
+
+
+def _lg(k):
+    return k.bit_length() - 1
+
+
+@lru_cache(maxsize=64)
+def _build_call(n_sb: int, bpp: int, nb: int, R: int, interpret: bool):
+    kernel = make_decode_kernel(bpp, nb, R)
+    P = nb * bpp
+    Sw = 64 * bpp
+    return pl.pallas_call(
+        kernel,
+        grid=(n_sb,),
+        in_specs=[
+            pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, P), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nb, Sw), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_sb, nb, Sw), jnp.int32),
+        interpret=interpret,
+    )
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("bpp", "nb", "interpret"))
+def decode_slabs_jit(vbufs, plane_off, rowtab, bpp: int, nb: int,
+                     interpret: bool = False):
+    return decode_slabs_body(vbufs, plane_off, rowtab, bpp, nb, interpret)
+
+
+def decode_slabs_body(vbufs, plane_off, rowtab, bpp: int, nb: int,
+                      interpret: bool = False):
+    """vbufs (n_sb, R*128) uint8 virtual payloads; plane_off (n_sb, P) i32;
+    rowtab (n_sb, 16, P) i32 packed rel|hdr<<10|min<<14.
+    Returns (n_sb, nb*256*bpp) decoded bytes as an int32 word view
+    (n_sb, nb, 64*bpp) — callers .view(uint8) on the host."""
+    n_sb = vbufs.shape[0]
+    R = vbufs.shape[1] // 128
+    call = _build_call(n_sb, bpp, nb, R, interpret)
+    return call(
+        vbufs.reshape(n_sb, R, 128),
+        plane_off.reshape(n_sb, 1, nb * bpp),
+        rowtab,
+    )
