@@ -104,6 +104,45 @@ def build_ctable(lengths: np.ndarray):
     return codes, lengths
 
 
+def code_lengths_batch(counts: np.ndarray, max_bits: int = MAX_BITS):
+    """counts (n, 256) -> lengths (n, 256) via the native C++ builder when
+    available (the python heap is ~0.7 ms/block; C++ is ~10 us)."""
+    from ..native import lib as native
+
+    counts = np.ascontiguousarray(counts, np.int64)
+    n = counts.shape[0]
+    if native is not None and hasattr(native, "huff_lengths"):
+        return native.huff_lengths(counts, max_bits)
+    return np.stack([code_lengths(counts[i], max_bits) for i in range(n)])
+
+
+def build_ctables_batch(lengths: np.ndarray):
+    """Vectorized canonical code assignment (same convention as
+    build_ctable) for (n, 256) lengths -> (n, 256) codes."""
+    lengths = np.asarray(lengths, np.int32)
+    n = lengths.shape[0]
+    maxlen = MAX_BITS
+    # per-length symbol counts and bases: base_maxlen = 0;
+    # base_l = (base_{l'} + n_{l'}) >> (l' - l) for the next longer l'
+    nl = np.stack([(lengths == ln).sum(axis=1)
+                   for ln in range(maxlen + 1)], axis=1)  # (n, maxlen+1)
+    base = np.zeros((n, maxlen + 1), np.int64)
+    code = np.zeros(n, np.int64)
+    prev = maxlen
+    for ln in range(maxlen, 0, -1):
+        code >>= (prev - ln)
+        prev = ln
+        base[:, ln] = code
+        code = code + nl[:, ln]
+    # rank within the same length, symbols ascending
+    codes = np.zeros((n, 256), np.int64)
+    for ln in range(1, maxlen + 1):
+        m = lengths == ln
+        rank = np.cumsum(m, axis=1) - m
+        codes = np.where(m, base[:, ln : ln + 1] + rank, codes)
+    return codes.astype(np.uint32)
+
+
 def weights_of(lengths: np.ndarray):
     """weight = maxBits + 1 - length (0 for unused)."""
     lengths = np.asarray(lengths, np.int32)

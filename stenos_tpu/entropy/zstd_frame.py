@@ -96,6 +96,108 @@ def encode_block(data: np.ndarray, last: bool) -> bytes:
     return bh.to_bytes(3, "little") + content
 
 
+def tree_descs_batch(lens_all):
+    """Serialized tree descriptions for (n, 256) lengths: native C++ when
+    available, python reference otherwise."""
+    from ..native import lib as native
+
+    if native is not None and hasattr(native, "huff_tree_descs"):
+        return native.huff_tree_descs(lens_all)
+    return [huffman_tree_description(lens_all[b])
+            for b in range(lens_all.shape[0])]
+
+
+def _huffman_block_sections(data, counts):
+    """Shared host metadata for one full block: (codes, lens, tree) or None
+    when the block should fall back (degenerate table / tree too big)."""
+    lens = code_lengths(counts)
+    if int((lens > 0).sum()) < 2:
+        return None
+    codes, lens = build_ctable(lens)
+    tree = huffman_tree_description(lens)
+    if tree is None:
+        return None
+    return codes, lens, tree
+
+
+def encode_frame_device(data, interpret: bool = False) -> bytes:
+    """Same frames as encode_frame_host, but full 128 KiB blocks run their
+    histogram + all four Huffman bitstreams on the TPU; the host only builds
+    tables/tree descriptions and assembles sections. The partial tail block
+    uses the host path."""
+    import jax.numpy as jnp
+
+    from .huff_pallas import encode_streams_device, histogram_device
+
+    data = np.frombuffer(bytes(data), np.uint8) if not isinstance(
+        data, np.ndarray) else np.asarray(data, np.uint8)
+    n = len(data)
+    out = bytearray()
+    out += (0xFD2FB528).to_bytes(4, "little")
+    out += bytes([0xA0])
+    out += n.to_bytes(4, "little")
+    if n == 0:
+        out += (1 | (0 << 1) | (0 << 3)).to_bytes(3, "little")
+        return bytes(out)
+    nfull = n // BLOCK_MAX
+    blocks = []
+    if nfull:
+        full = data[: nfull * BLOCK_MAX].reshape(nfull, BLOCK_MAX)
+        hist = np.asarray(histogram_device(jnp.asarray(full), interpret))
+        from .huffman import build_ctables_batch, code_lengths_batch
+
+        lens_all = code_lengths_batch(hist)
+        codes_all = build_ctables_batch(lens_all)
+        trees = tree_descs_batch(lens_all)
+        metas = []
+        for b in range(nfull):
+            if int((lens_all[b] > 0).sum()) < 2 or trees[b] is None:
+                metas.append(None)
+                continue
+            metas.append((codes_all[b], lens_all[b], trees[b]))
+        luts = np.zeros((nfull, 256), np.int32)
+        for b, m in enumerate(metas):
+            if m is not None:
+                codes, lens, _ = m
+                luts[b] = codes.astype(np.int32) | (lens.astype(np.int32)
+                                                    << 11)
+        streams = full.reshape(nfull * 4, BLOCK_MAX // 4)
+        slut = np.repeat(luts, 4, axis=0)
+        words, sizes = encode_streams_device(
+            jnp.asarray(streams), jnp.asarray(slut), interpret)
+        words = np.ascontiguousarray(np.asarray(words))
+        sizes = np.asarray(sizes)
+        wbytes = words.view("<u1").reshape(nfull * 4, -1)
+        for b in range(nfull):
+            chunk = full[b]
+            last = (b == nfull - 1) and n == nfull * BLOCK_MAX
+            m = metas[b]
+            if m is None:
+                blocks.append(encode_block(chunk, last))
+                continue
+            _, _, tree = m
+            enc = [bytes(wbytes[4 * b + j][: sizes[4 * b + j]])
+                   for j in range(4)]
+            if any(len(e) > 0xFFFF for e in enc[:3]):
+                blocks.append(encode_block(chunk, last))
+                continue
+            jump = b"".join(len(e).to_bytes(2, "little") for e in enc[:3])
+            payload = tree + jump + b"".join(enc)
+            csize = len(payload)
+            if csize + 6 >= BLOCK_MAX:
+                blocks.append(encode_block(chunk, last))
+                continue
+            hdr = 2 | (3 << 2) | (BLOCK_MAX << 4) | (csize << 22)
+            content = hdr.to_bytes(5, "little") + payload + b"\x00"
+            bh = int(last) | (2 << 1) | (len(content) << 3)
+            blocks.append(bh.to_bytes(3, "little") + content)
+    if n > nfull * BLOCK_MAX:
+        blocks.append(encode_block(data[nfull * BLOCK_MAX :], True))
+    for blk in blocks:
+        out += blk
+    return bytes(out)
+
+
 def encode_frame_host(data) -> bytes:
     """data: bytes / uint8 array -> a standard zstd frame (single segment,
     4-byte content size, literals-only blocks)."""

@@ -75,8 +75,22 @@ def _guess_transposed_lz_ratio(shuffled, bpp, nbytes, glevel, use_delta):
     return (processed / csize) * (1.0 + glevel * 0.02)
 
 
+def _entropy_compress(src_bytes, cap: int, zl: int, entropy):
+    """Entropy stage dispatch: libzstd (byte-parity with the reference) or
+    the TPU entropy coder (standard zstd output, huffman-literals)."""
+    if entropy == "device":
+        from .entropy import zstd_frame
+
+        f = zstd_frame.encode_frame_device(src_bytes)
+        if len(f) > cap:
+            return "overflow"
+        return f
+    return zstd_host.compress(src_bytes, cap, zl)
+
+
 def compress_superblock(chunk: np.ndarray, bpp: int, level: int,
-                        dst_size: int, engine=None, precomputed=None) -> bytes:
+                        dst_size: int, engine=None, precomputed=None,
+                        entropy=None) -> bytes:
     """Compress one superblock -> header(4B) + payload (or raise).
 
     Mirrors compress_generic_superblock (stenos.cpp:403-679),
@@ -98,7 +112,7 @@ def compress_superblock(chunk: np.ndarray, bpp: int, level: int,
         return emit(METHOD_COPY, chunk.tobytes())
 
     def do_zstd(src_bytes, method, zl):
-        r = zstd_host.compress(src_bytes, dst_size - 4, zl)
+        r = _entropy_compress(src_bytes, dst_size - 4, zl, entropy)
         if isinstance(r, str) or len(r) > sbytes:
             return do_memcpy()
         return emit(method, r)
@@ -161,7 +175,7 @@ def compress_superblock(chunk: np.ndarray, bpp: int, level: int,
                                METHOD_TRANSPOSED_DELTA_ZSTD, zl)
         return do_zstd(chunk.tobytes(), METHOD_ZSTD, zl)
 
-    result = zstd_host.compress(cblock, dst_size - 4, zl)
+    result = _entropy_compress(cblock, dst_size - 4, zl, entropy)
     if isinstance(result, str) or len(result) > len(cblock):
         return emit(METHOD_BLOCK, cblock)
     return emit(METHOD_BLOCK_ZSTD, result)
@@ -336,7 +350,7 @@ def compress_generic(ctx, data, bytesoftype: int, dst_size=None) -> bytes:
 
 
 def compress(data, bytesoftype: int, level: int = 1, dst_size=None,
-             engine=None, custom_shift=None) -> bytes:
+             engine=None, custom_shift=None, entropy=None) -> bytes:
     """stenos_compress equivalent. data: bytes / 1D uint8 array."""
     if isinstance(data, (bytes, bytearray, memoryview)):
         data = np.frombuffer(bytes(data), dtype=np.uint8)
@@ -346,9 +360,14 @@ def compress(data, bytesoftype: int, level: int = 1, dst_size=None,
         raise StenosError(ERROR_INVALID_BYTESOFTYPE)
     sb, shift = _superblock_params(bytesoftype, nbytes, level, custom_shift)
     if dst_size is None:
-        # compress_bound assumes >= 65792-byte superblocks; small custom
-        # blocksizes need the per-superblock overhead accounted exactly
-        dst_size = 12 + max(1, -(-nbytes // sb)) * 4 + nbytes
+        if custom_shift is None or custom_shift == NO_BLOCK_SHIFT:
+            # exactly stenos_bound: method selection is capacity-sensitive
+            # at the margins, so parity requires the same default capacity
+            dst_size = compress_bound(nbytes)
+        else:
+            # compress_bound assumes >= 65792-byte superblocks; small custom
+            # blocksizes need the per-superblock overhead accounted exactly
+            dst_size = 12 + max(1, -(-nbytes // sb)) * 4 + nbytes
     header = bytes([shift]) + nbytes.to_bytes(7, "little")
     if shift == 255:
         header += sb.to_bytes(4, "little")
@@ -369,7 +388,7 @@ def compress(data, bytesoftype: int, level: int = 1, dst_size=None,
         chunk = data[off : off + sb]
         blob = compress_superblock(
             chunk, bytesoftype, level, dst_size - pos, engine,
-            precomputed=None if pre is None else pre[i])
+            precomputed=None if pre is None else pre[i], entropy=entropy)
         out.append(blob)
         pos += len(blob)
     return b"".join(out)

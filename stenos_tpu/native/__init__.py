@@ -45,6 +45,14 @@ class _Native:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        cdll.stn_huff_lengths.restype = None
+        cdll.stn_huff_lengths.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int32,
+            ctypes.c_void_p]
+        cdll.stn_huff_tree_descs.restype = None
+        cdll.stn_huff_tree_descs.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_void_p]
         cdll.stn_parse_rows_batch.restype = ctypes.c_ssize_t
         cdll.stn_parse_rows_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
@@ -173,6 +181,34 @@ class _Native:
         if r < 0:
             return int(r)
         return vbufs, plane_off, rowtab
+
+    def huff_lengths(self, counts, max_bits: int = 11):
+        """counts (n, 256) int64 -> length-limited Huffman lengths (n, 256)."""
+        import numpy as np
+
+        counts = np.ascontiguousarray(counts, np.int64)
+        n = counts.shape[0]
+        out = np.zeros((n, 256), np.uint8)
+        self._lib.stn_huff_lengths(
+            counts.ctypes.data_as(ctypes.c_void_p), n, max_bits,
+            out.ctypes.data_as(ctypes.c_void_p))
+        return out.astype(np.int32)
+
+    def huff_tree_descs(self, lengths):
+        """lengths (n, 256) -> list of serialized tree descriptions
+        (None where the block must fall back to raw literals)."""
+        import numpy as np
+
+        lengths = np.ascontiguousarray(lengths, np.uint8)
+        n = lengths.shape[0]
+        out = np.zeros((n, 132), np.uint8)
+        sizes = np.zeros(n, np.int32)
+        self._lib.stn_huff_tree_descs(
+            lengths.ctypes.data_as(ctypes.c_void_p), n,
+            out.ctypes.data_as(ctypes.c_void_p),
+            sizes.ctypes.data_as(ctypes.c_void_p))
+        return [bytes(out[i][: sizes[i]]) if sizes[i] else None
+                for i in range(n)]
 
     def block_decode(self, src, bpp: int, nbytes: int):
         """Decode a block stream -> numpy uint8 array or negative error."""

@@ -616,6 +616,393 @@ EXPORT ptrdiff_t stn_parse_index(const uint8_t* src, size_t size, size_t bpp,
     return pos;
 }
 
+// ------------------------------------------------------- huffman tables
+//
+// Batched length-limited Huffman code-length construction for the device
+// entropy stage (SPEC: RFC 8878 §4.2.1, max length 11). One call builds the
+// lengths for every 128 KiB block of a frame; canonical code assignment
+// stays in numpy (cheap).
+
+namespace {
+
+struct HuffNode {
+    int64_t count;
+    int32_t id;  // tie-break: lower id first (matches python heapq order)
+    int32_t sym;
+    int32_t left, right;  // -1 for leaves
+};
+
+}  // namespace
+
+EXPORT void stn_huff_lengths(const int64_t* counts, size_t n_blocks,
+                             int32_t max_bits, uint8_t* lengths /*n*256*/) {
+    for (size_t b = 0; b < n_blocks; ++b) {
+        const int64_t* cnt = counts + b * 256;
+        uint8_t* len = lengths + b * 256;
+        std::memset(len, 0, 256);
+        HuffNode nodes[512];
+        int heap[512];
+        int n_nodes = 0, heap_n = 0;
+        auto heap_less = [&](int a, int c) {
+            if (nodes[a].count != nodes[c].count)
+                return nodes[a].count < nodes[c].count;
+            return nodes[a].id < nodes[c].id;
+        };
+        auto heap_push = [&](int v) {
+            int i = heap_n++;
+            heap[i] = v;
+            while (i && heap_less(heap[i], heap[(i - 1) / 2])) {
+                int t = heap[i]; heap[i] = heap[(i - 1) / 2];
+                heap[(i - 1) / 2] = t;
+                i = (i - 1) / 2;
+            }
+        };
+        auto heap_pop = [&]() {
+            int top = heap[0];
+            heap[0] = heap[--heap_n];
+            int i = 0;
+            for (;;) {
+                int l = 2 * i + 1, r = 2 * i + 2, m = i;
+                if (l < heap_n && heap_less(heap[l], heap[m])) m = l;
+                if (r < heap_n && heap_less(heap[r], heap[m])) m = r;
+                if (m == i) break;
+                int t = heap[i]; heap[i] = heap[m]; heap[m] = t;
+                i = m;
+            }
+            return top;
+        };
+        int n_used = 0, only = -1;
+        for (int s = 0; s < 256; ++s) {
+            if (cnt[s] > 0) {
+                nodes[n_nodes] = {cnt[s], s, s, -1, -1};
+                heap_push(n_nodes++);
+                ++n_used;
+                only = s;
+            }
+        }
+        if (n_used == 0) continue;
+        if (n_used == 1) { len[only] = 1; continue; }
+        int next_id = 256;
+        while (heap_n > 1) {
+            int a = heap_pop(), c = heap_pop();
+            nodes[n_nodes] = {nodes[a].count + nodes[c].count, next_id++, -1,
+                              a, c};
+            heap_push(n_nodes++);
+        }
+        // assign depths iteratively
+        int stack[512], depth[512];
+        int sp = 0;
+        stack[sp] = heap[0]; depth[sp++] = 0;
+        while (sp) {
+            int nd = stack[--sp];
+            int d = depth[sp];
+            if (nodes[nd].left < 0) {
+                len[nodes[nd].sym] = (uint8_t)(d > 0 ? d : 1);
+            } else {
+                stack[sp] = nodes[nd].left; depth[sp++] = d + 1;
+                stack[sp] = nodes[nd].right; depth[sp++] = d + 1;
+            }
+        }
+        // length-limit + Kraft repair (mirrors entropy/huffman.py)
+        int maxl = 0;
+        for (int s = 0; s < 256; ++s) if (len[s] > maxl) maxl = len[s];
+        if (maxl <= max_bits) continue;
+        for (int s = 0; s < 256; ++s)
+            if (len[s] > max_bits) len[s] = (uint8_t)max_bits;
+        const int64_t unit = 1ll << max_bits;
+        int64_t k = 0;
+        for (int s = 0; s < 256; ++s)
+            if (len[s]) k += 1ll << (max_bits - len[s]);
+        // ascending-frequency symbol order
+        int order[256];
+        int n_ord = 0;
+        for (int s = 0; s < 256; ++s) if (cnt[s] > 0) order[n_ord++] = s;
+        for (int i = 1; i < n_ord; ++i) {  // stable insertion by count
+            int v = order[i]; int j = i - 1;
+            while (j >= 0 && cnt[order[j]] > cnt[v]) {
+                order[j + 1] = order[j]; --j;
+            }
+            order[j + 1] = v;
+        }
+        while (k > unit) {
+            for (int i = 0; i < n_ord && k > unit; ++i) {
+                int s = order[i];
+                if (len[s] && len[s] < max_bits) {
+                    k -= (1ll << (max_bits - len[s])) >> 1;
+                    ++len[s];
+                }
+            }
+        }
+        bool changed = true;
+        while (k < unit && changed) {
+            changed = false;
+            for (int i = n_ord - 1; i >= 0; --i) {
+                int s = order[i];
+                if (len[s] > 1) {
+                    int64_t gain = 1ll << (max_bits - len[s]);
+                    if (k + gain <= unit) {
+                        --len[s]; k += gain; changed = true;
+                        if (k == unit) break;
+                    }
+                }
+            }
+        }
+    }
+}
+
+// --------------------------------------------- huffman tree descriptions
+//
+// FSE (tANS) compression of huffman weights per RFC 8878 §4.2.1.2 — the
+// C++ twin of entropy/fse.py (outputs must be byte-identical; tests compare).
+
+namespace {
+
+struct BitW {
+    uint64_t acc = 0;
+    int nbits = 0;
+    uint8_t* out;
+    int n = 0;
+    void add(uint64_t v, int nb) {
+        acc |= (v & ((1ull << nb) - 1)) << nbits;
+        nbits += nb;
+        while (nbits >= 8) { out[n++] = (uint8_t)acc; acc >>= 8; nbits -= 8; }
+    }
+    void pad() {
+        if (nbits) { out[n++] = (uint8_t)(acc & ((1 << nbits) - 1));
+                     acc = 0; nbits = 0; }
+    }
+    void close() { add(1, 1); pad(); }
+};
+
+inline int highbit(uint32_t v) { return 31 - __builtin_clz(v); }
+
+// normalize counts to sum 1<<tl, every present symbol >= 1
+inline void fse_normalize(const int64_t* cnt, int n_sym, int tl,
+                          int64_t total, int32_t* norm) {
+    const int64_t size = 1ll << tl;
+    int n_present = 0;
+    int only = -1;
+    for (int s = 0; s < n_sym; ++s)
+        if (cnt[s] > 0) { ++n_present; only = s; }
+    for (int s = 0; s < n_sym; ++s) norm[s] = 0;
+    if (n_present == 1) { norm[only] = (int32_t)size; return; }
+    int64_t sum = 0;
+    for (int s = 0; s < n_sym; ++s) {
+        if (cnt[s] > 0) {
+            int64_t v = cnt[s] * size / total;
+            norm[s] = (int32_t)(v > 1 ? v : 1);
+            sum += norm[s];
+        }
+    }
+    int64_t diff = size - sum;
+    if (diff > 0) {
+        // round-robin over symbols by descending count (stable)
+        int order[256];
+        int n_ord = 0;
+        for (int s = 0; s < n_sym; ++s) if (cnt[s] > 0) order[n_ord++] = s;
+        for (int i = 1; i < n_ord; ++i) {
+            int v = order[i]; int j = i - 1;
+            while (j >= 0 && cnt[order[j]] < cnt[v]) {
+                order[j + 1] = order[j]; --j;
+            }
+            order[j + 1] = v;
+        }
+        int i = 0;
+        while (diff > 0) { norm[order[i % n_ord]] += 1; --diff; ++i; }
+    }
+    while (diff < 0) {
+        // take from the symbol with most slack (norm - ideal share)
+        double best = -1; int bs = -1;
+        for (int s = 0; s < n_sym; ++s) {
+            if (norm[s] > 1) {
+                double slack = norm[s] - (double)cnt[s] * size / total;
+                if (slack > best) { best = slack; bs = s; }
+            }
+        }
+        int64_t take = -diff < norm[bs] - 1 ? -diff : norm[bs] - 1;
+        norm[bs] -= (int32_t)take;
+        diff += take;
+    }
+}
+
+inline void fse_write_ncount(BitW& bw, const int32_t* norm, int tl,
+                             int max_symbol) {
+    bw.add(tl - 5, 4);
+    const int size = 1 << tl;
+    int remaining = size + 1;
+    int threshold = size;
+    int nb_bits = tl + 1;
+    int s = 0;
+    bool previous0 = false;
+    while (remaining > 1 && s <= max_symbol) {
+        if (previous0) {
+            int start = s;
+            while (s <= max_symbol && norm[s] == 0) ++s;
+            int run = s - start;
+            while (run >= 3) { bw.add(3, 2); run -= 3; }
+            bw.add(run, 2);
+            if (s > max_symbol) break;
+        }
+        int count = norm[s++];
+        const int maxv = (2 * threshold - 1) - remaining;
+        remaining -= count < 0 ? 1 : count;
+        int value = count + 1;
+        if (value >= threshold) value += maxv;
+        bw.add(value, value < maxv ? nb_bits - 1 : nb_bits);
+        previous0 = (count == 0);
+        while (remaining < threshold) { --nb_bits; threshold >>= 1; }
+    }
+    bw.pad();
+}
+
+struct FseEnc {
+    int tl;
+    int32_t state_table[64];
+    int64_t dnb[16], dfs[16];
+    int64_t value = 0;
+    void build(const int32_t* norm, int n_sym, int tlog) {
+        tl = tlog;
+        const int size = 1 << tl;
+        int spread[64];
+        int high = size - 1;
+        for (int ssym = 0; ssym < n_sym; ++ssym)
+            if (norm[ssym] == -1) spread[high--] = ssym;
+        const int step = (size >> 1) + (size >> 3) + 3;
+        const int mask = size - 1;
+        int pos = 0;
+        for (int ssym = 0; ssym < n_sym; ++ssym) {
+            for (int i = 0; i < norm[ssym]; ++i) {
+                spread[pos] = ssym;
+                pos = (pos + step) & mask;
+                while (pos > high) pos = (pos + step) & mask;
+            }
+        }
+        int64_t cumul[17];
+        cumul[0] = 0;
+        for (int ssym = 0; ssym < n_sym; ++ssym)
+            cumul[ssym + 1] = cumul[ssym] +
+                (norm[ssym] == -1 ? 1 : (norm[ssym] > 0 ? norm[ssym] : 0));
+        int64_t cc[17];
+        for (int i = 0; i <= n_sym; ++i) cc[i] = cumul[i];
+        for (int u = 0; u < size; ++u)
+            state_table[cc[spread[u]]++] = size + u;
+        int64_t total = 0;
+        for (int ssym = 0; ssym < n_sym; ++ssym) {
+            int c = norm[ssym];
+            if (c == -1 || c == 1) {
+                dnb[ssym] = ((int64_t)tl << 16) - (1ll << tl);
+                dfs[ssym] = total - 1;
+                total += 1;
+            } else if (c == 0) {
+                dnb[ssym] = (((int64_t)tl + 1) << 16) - (1ll << tl);
+                dfs[ssym] = total - 1;
+            } else {
+                int mbo = tl - highbit(c - 1);
+                dnb[ssym] = ((int64_t)mbo << 16) - ((int64_t)c << mbo);
+                dfs[ssym] = total - c;
+                total += c;
+            }
+        }
+    }
+    void init_state(int ssym) {
+        int nb = (int)((dnb[ssym] + (1 << 15)) >> 16);
+        int64_t v = ((int64_t)nb << 16) - dnb[ssym];
+        value = state_table[(v >> nb) + dfs[ssym]];
+    }
+    void encode(BitW& bw, int ssym) {
+        int nb = (int)((value + dnb[ssym]) >> 16);
+        bw.add((uint64_t)value, nb);
+        value = state_table[(value >> nb) + dfs[ssym]];
+    }
+    void flush(BitW& bw) { bw.add((uint64_t)value, tl); }
+};
+
+// full tree description for one block's lengths; returns size or 0 (caller
+// falls back to raw literals for this block)
+inline int huff_tree_desc(const uint8_t* len, uint8_t* out) {
+    int maxlen = 0, last = -1;
+    for (int s = 0; s < 256; ++s)
+        if (len[s]) { last = s; if (len[s] > maxlen) maxlen = len[s]; }
+    if (last < 0) return 0;
+    int8_t w[256];
+    for (int s = 0; s < 256; ++s)
+        w[s] = len[s] ? (int8_t)(maxlen + 1 - len[s]) : 0;
+    const int n_tx = last;  // transmitted weights (last is implicit)
+    // try FSE (table log 6)
+    int fse_size = 0;
+    uint8_t fse_buf[256];
+    if (n_tx >= 2) {
+        int64_t cnt[16] = {0};
+        int max_w = 0;
+        for (int i = 0; i < n_tx; ++i) {
+            ++cnt[w[i]];
+            if (w[i] > max_w) max_w = w[i];
+        }
+        int distinct = 0;
+        for (int v = 0; v <= max_w; ++v) if (cnt[v]) ++distinct;
+        if (distinct >= 2) {
+            int32_t norm[16];
+            fse_normalize(cnt, max_w + 1, 6, n_tx, norm);
+            BitW bw{};
+            bw.out = fse_buf;
+            fse_write_ncount(bw, norm, 6, max_w);
+            FseEnc e1, e2;
+            e1.build(norm, max_w + 1, 6);
+            e2.build(norm, max_w + 1, 6);
+            int ip = n_tx;
+            if (n_tx & 1) {
+                e1.init_state(w[ip - 1]);
+                e2.init_state(w[ip - 2]);
+                e1.encode(bw, w[ip - 3]);
+                ip -= 3;
+            } else {
+                e2.init_state(w[ip - 1]);
+                e1.init_state(w[ip - 2]);
+                ip -= 2;
+            }
+            while (ip > 0) {
+                e2.encode(bw, w[ip - 1]);
+                e1.encode(bw, w[ip - 2]);
+                ip -= 2;
+            }
+            e2.flush(bw);
+            e1.flush(bw);
+            bw.close();
+            fse_size = bw.n;
+        }
+    }
+    const int direct_size = (n_tx + 1) / 2;
+    if (fse_size && fse_size < 128 && fse_size < direct_size + 1) {
+        out[0] = (uint8_t)fse_size;
+        std::memcpy(out + 1, fse_buf, fse_size);
+        return 1 + fse_size;
+    }
+    if (last <= 127) {
+        out[0] = (uint8_t)(127 + n_tx);
+        for (int i = 0; i < n_tx; i += 2) {
+            int hi = w[i];
+            int lo = i + 1 < n_tx ? w[i + 1] : 0;
+            out[1 + i / 2] = (uint8_t)((hi << 4) | lo);
+        }
+        return 1 + direct_size;
+    }
+    if (fse_size && fse_size < 128) {
+        out[0] = (uint8_t)fse_size;
+        std::memcpy(out + 1, fse_buf, fse_size);
+        return 1 + fse_size;
+    }
+    return 0;
+}
+
+}  // namespace
+
+EXPORT void stn_huff_tree_descs(const uint8_t* lengths, size_t n_blocks,
+                                uint8_t* out /* n*132 */,
+                                int32_t* out_sizes) {
+    for (size_t b = 0; b < n_blocks; ++b)
+        out_sizes[b] = huff_tree_desc(lengths + b * 256, out + b * 132);
+}
+
 // ------------------------------------------------- row-level parse (decode)
 //
 // Uniform row-record index for the v2 device decoder: EVERY construct of the

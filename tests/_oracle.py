@@ -75,8 +75,13 @@ def bound(nbytes: int) -> int:
 
 def compress(data: bytes, bytesoftype: int, level: int) -> bytes:
     lib = get_lib()
-    dst = ctypes.create_string_buffer(bound(len(data)) + 64)
-    r = lib.stenos_compress(data, bytesoftype, len(data), dst, len(dst), level)
+    # exactly stenos_bound: method selection depends on the remaining dst
+    # capacity (e.g. zstd is skipped when dstCapacity < srcSize + zstd
+    # overhead, stenos.cpp serial path), so parity requires BOTH sides to
+    # see the same capacity — our compress() defaults to the same bound
+    cap = bound(len(data))
+    dst = ctypes.create_string_buffer(cap)
+    r = lib.stenos_compress(data, bytesoftype, len(data), dst, cap, level)
     if has_error(r):
         raise RuntimeError(f"oracle compress error code {2**64 - r}")
     return dst.raw[:r]

@@ -1,0 +1,78 @@
+"""Device entropy kernels (interpret mode) vs host reference + libzstd."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stenos_tpu.entropy.huffman import (build_ctable, build_ctables_batch,
+                                        code_lengths, code_lengths_batch)
+from stenos_tpu.entropy.zstd_frame import (encode_frame_device,
+                                           huf_encode_stream,
+                                           huffman_tree_description,
+                                           tree_descs_batch)
+from stenos_tpu.entropy.huff_pallas import (encode_streams_device,
+                                            histogram_device, STREAM)
+from stenos_tpu.host import zstd as zstd_host
+
+
+def _libzstd_ok():
+    try:
+        zstd_host.compress(b"x" * 100, 200, 1)
+        return True
+    except Exception:
+        return False
+
+
+def test_batched_table_builders_match_python(rng):
+    counts = np.zeros((12, 256), np.int64)
+    for i in range(12):
+        k = i % 4
+        if k == 0:
+            counts[i] = rng.integers(0, 1000, 256)
+        elif k == 1:
+            counts[i, rng.choice(256, 9, replace=False)] = rng.integers(
+                1, 1 << 20, 9)
+        elif k == 2:
+            counts[i] = np.bincount(
+                (rng.zipf(1.2, 50000).clip(1, 256) - 1), minlength=256)
+        else:
+            counts[i, 180:256] = rng.integers(1, 50, 76)
+    lb = code_lengths_batch(counts)
+    cb = build_ctables_batch(lb)
+    trees = tree_descs_batch(lb)
+    for i in range(12):
+        assert (lb[i] == code_lengths(counts[i])).all(), i
+        codes, _ = build_ctable(lb[i])
+        assert (cb[i] == codes).all(), i
+        assert trees[i] == huffman_tree_description(lb[i]), i
+
+
+def test_stream_kernel_bit_identical(rng):
+    data = rng.normal(128, 20, STREAM).clip(0, 255).astype(np.uint8)
+    counts = np.bincount(data, minlength=256)
+    lens = code_lengths(counts)
+    codes, lens = build_ctable(lens)
+    want = huf_encode_stream(data, codes, lens)
+    lut = codes.astype(np.int32) | (lens.astype(np.int32) << 11)
+    words, sizes = encode_streams_device(
+        jnp.asarray(data.reshape(1, -1)), jnp.asarray(lut.reshape(1, -1)),
+        interpret=True)
+    got = np.ascontiguousarray(np.asarray(words)).view("<u1")[0]
+    assert bytes(got[: int(sizes[0])]) == want
+
+
+def test_histogram_kernel(rng):
+    data = rng.integers(0, 256, 131072).astype(np.uint8)
+    h = np.asarray(histogram_device(
+        jnp.asarray(data.reshape(1, -1)), interpret=True))[0]
+    assert (h == np.bincount(data, minlength=256)).all()
+
+
+@pytest.mark.skipif(not _libzstd_ok(), reason="no libzstd")
+def test_device_frame_decodes_with_libzstd(rng):
+    data = rng.normal(100, 25, 131072 + 5000).clip(0, 255).astype(np.uint8)
+    frame = encode_frame_device(data, interpret=True)
+    back = zstd_host.decompress(frame, len(data) + 16)
+    assert back == data.tobytes()
