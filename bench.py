@@ -153,6 +153,61 @@ def main():
         out = np.ascontiguousarray(np.asarray(words)).view(np.uint8)
         ok_decode = out.reshape(-1).tobytes() == raw.tobytes()
 
+    # --- entropy stage kernels (device zstd huffman coder), 64MB slice
+    ent_hist_gbps = 0.0
+    ent_enc_gbps = 0.0
+    ent_ok = False
+    try:
+        from stenos_tpu.entropy.huff_pallas import (encode_streams_device,
+                                                    histogram_device)
+        from stenos_tpu.entropy.huffman import (build_ctables_batch,
+                                                code_lengths_batch)
+        from stenos_tpu.entropy.zstd_frame import encode_frame_device
+        from stenos_tpu.host import zstd as zstd_host
+
+        ebytes = min(nbytes, 64 * 1024 * 1024)
+        nblk = ebytes // 131072
+        noisy = np.cumsum(
+            rng.normal(0, 300, ebytes // 4)).astype("<i4").view(np.uint8)
+        blocks = jax.device_put(noisy.reshape(nblk, 131072), dev)
+        jax.block_until_ready(blocks)
+
+        @jax.jit
+        def hist_f(x):
+            h = histogram_device(x)
+            return h, jnp.sum(h)
+
+        h, chk = hist_f(blocks)
+        int(chk)
+        t_h = min(_timed(lambda: int(hist_f(blocks)[1])) for _ in range(REPS))
+        ent_hist_gbps = ebytes / t_h / 1e9
+
+        hist_h = np.asarray(h)
+        lens_all = code_lengths_batch(hist_h)
+        codes_all = build_ctables_batch(lens_all)
+        luts = np.repeat(
+            codes_all.astype(np.int32) | (lens_all.astype(np.int32) << 11),
+            4, axis=0)
+        streams = jax.device_put(noisy.reshape(nblk * 4, 32768), dev)
+        luts_d = jax.device_put(luts, dev)
+        jax.block_until_ready([streams, luts_d])
+
+        @jax.jit
+        def ent_f(s, l):
+            w, sz = encode_streams_device(s, l)
+            return jnp.sum(w) + jnp.sum(sz)
+
+        int(ent_f(streams, luts_d))
+        t_e = min(_timed(lambda: int(ent_f(streams, luts_d)))
+                  for _ in range(REPS))
+        ent_enc_gbps = ebytes / t_e / 1e9
+
+        fsmall = encode_frame_device(noisy[: 2 * 131072 + 999])
+        back = zstd_host.decompress(fsmall, 2 * 131072 + 999 + 16)
+        ent_ok = back == noisy[: 2 * 131072 + 999].tobytes()
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "block codec encode GB/s per chip (sorted int32, "
                   "device-resident, bit-exact stenos frames)",
@@ -167,6 +222,9 @@ def main():
                                "D2H fetch (NOTES.md); e2e here is relay-"
                                "bound, not codec-bound",
             "host_parse_gbps": round(host_parse_gbps, 3),
+            "entropy_hist_kernel_gbps": round(ent_hist_gbps, 3),
+            "entropy_huffman_kernel_gbps": round(ent_enc_gbps, 3),
+            "entropy_frames_decode_via_libzstd": bool(ent_ok),
             "compression_ratio": round(ratio, 3),
             "frame_equals_reference_bitexact_path": bool(parity),
             "decode_roundtrip_ok": bool(ok_decode),

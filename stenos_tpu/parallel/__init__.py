@@ -1,5 +1,6 @@
 from .sharding import (
     make_mesh,
+    encode_slabs_sharded,
     encode_superblocks_sharded,
     decode_blocks_sharded,
     sharded_compress_step,
@@ -7,6 +8,7 @@ from .sharding import (
 
 __all__ = [
     "make_mesh",
+    "encode_slabs_sharded",
     "encode_superblocks_sharded",
     "decode_blocks_sharded",
     "sharded_compress_step",

@@ -72,6 +72,29 @@ def decode_blocks_sharded(mesh: Mesh, buf_per_dev, plane_off, row_rel,
     return jax.jit(f)(buf_per_dev, plane_off, row_rel, row_hdr, row_min)
 
 
+def encode_slabs_sharded(mesh: Mesh, data, bpp: int, block_level: int = 2,
+                         axis: str = "chunks", interpret: bool = False):
+    """Pallas mega-kernel under shard_map: each chip runs the VMEM-resident
+    encode kernel on its local superblocks; outputs stay sharded. This is
+    the production multi-chip path (the XLA pipeline variant above remains
+    for CPU meshes and parity tests)."""
+    from ..ops.encode_pallas import encode_slabs_body
+
+    def local(chunk):
+        return encode_slabs_body(chunk, bpp, block_level, interpret=interpret)
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,  # pallas_call outputs don't carry vma metadata
+    )
+    sharding = NamedSharding(mesh, P(axis))
+    data = jax.device_put(data, sharding)
+    return jax.jit(f)(data)
+
+
 def sharded_compress_step(mesh: Mesh, data, bpp: int, axis: str = "chunks"):
     """One full sharded compress 'step' (used by dryrun_multichip and the
     scaling bench): local block-encode + collective size prefix-sum +

@@ -63,3 +63,30 @@ def test_graft_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+@needs_mesh
+def test_sharded_pallas_encode_matches_single(rng):
+    """The Pallas mega-kernel under shard_map (interpret mode on the CPU
+    mesh) produces the same records as the XLA pipeline."""
+    from stenos_tpu.parallel import make_mesh, encode_slabs_sharded
+    from stenos_tpu.engine_jax import encode_superblocks_jit
+
+    bpp = 4
+    sb = 256 * bpp * 2
+    n_sb = 8
+    data = gen_elements(rng, bpp, (n_sb * sb) // bpp, "sorted")
+    batch = np.frombuffer(data, np.uint8).reshape(n_sb, sb)
+
+    mesh = make_mesh(8)
+    rows, tot_s, bs_s, fs_s = encode_slabs_sharded(
+        mesh, batch, bpp, interpret=True)
+    out_1, tot_1, bs_1, fs_1 = encode_superblocks_jit(batch, bpp, 2)
+    rows = np.asarray(rows)
+    tot_s = np.asarray(tot_s)
+    for i in range(n_sb):
+        want = (bytes([1]) + int(tot_1[i]).to_bytes(3, "little")
+                + bytes(np.asarray(out_1[i])[: int(tot_1[i])]))
+        assert bytes(rows[i][: tot_s[i]]) == want, i
+    assert (np.asarray(bs_s) == np.asarray(bs_1)).all()
+    assert (np.asarray(fs_s) == np.asarray(fs_1)).all()
