@@ -61,6 +61,11 @@ def main():
     ap.add_argument("--levels", type=int, nargs="*", default=[1, 2, 5, 9])
     ap.add_argument("--oracle", action="store_true")
     ap.add_argument("--engine", choices=["host", "jax"], default="host")
+    ap.add_argument("--csv", action="store_true",
+                    help="CSV output, best-of-N timing "
+                         "(bench_to_csv protocol, reference "
+                         "benchs/bench_to_csv.cpp:97-137)")
+    ap.add_argument("--best-of", type=int, default=5)
     args = ap.parse_args()
 
     engine = None
@@ -75,24 +80,43 @@ def main():
         import _oracle as oracle  # noqa
 
     rng = np.random.default_rng(7)
-    hdr = f"{'dataset':>16} {'bpp':>3} {'lvl':>3} {'enc ms':>8} {'dec ms':>8} {'ratio':>7}"
-    if oracle:
-        hdr += f" {'ref ratio':>9} {'bytes==ref':>10}"
+    reps = args.best_of if args.csv else 1
+    if args.csv:
+        hdr = "dataset,bpp,level,enc_ms_best,dec_ms_best,enc_gbps,dec_gbps,ratio"
+        if oracle:
+            hdr += ",ref_ratio,bytes_eq_ref"
+    else:
+        hdr = (f"{'dataset':>16} {'bpp':>3} {'lvl':>3} {'enc ms':>8} "
+               f"{'dec ms':>8} {'ratio':>7}")
+        if oracle:
+            hdr += f" {'ref ratio':>9} {'bytes==ref':>10}"
     print(hdr)
     for name, bpp, data in datasets(args.mb, rng):
         for level in args.levels:
-            t0 = time.perf_counter()
-            frame = st.compress(data, bpp, level, engine=engine)
-            enc_ms = (time.perf_counter() - t0) * 1000
-            t0 = time.perf_counter()
-            out = st.decompress(frame, bpp, engine=engine)
-            dec_ms = (time.perf_counter() - t0) * 1000
+            enc_ms = dec_ms = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                frame = st.compress(data, bpp, level, engine=engine)
+                enc_ms = min(enc_ms, (time.perf_counter() - t0) * 1000)
+                t0 = time.perf_counter()
+                out = st.decompress(frame, bpp, engine=engine)
+                dec_ms = min(dec_ms, (time.perf_counter() - t0) * 1000)
             assert out.tobytes() == data, (name, level)
-            line = (f"{name:>16} {bpp:>3} {level:>3} {enc_ms:>8.1f} "
-                    f"{dec_ms:>8.1f} {len(data)/len(frame):>7.2f}")
-            if oracle:
-                ref = oracle.compress(data, bpp, level)
-                line += f" {len(data)/len(ref):>9.2f} {str(frame == ref):>10}"
+            ratio = len(data) / len(frame)
+            if args.csv:
+                line = (f"{name},{bpp},{level},{enc_ms:.2f},{dec_ms:.2f},"
+                        f"{len(data)/enc_ms/1e6:.3f},"
+                        f"{len(data)/dec_ms/1e6:.3f},{ratio:.3f}")
+                if oracle:
+                    ref = oracle.compress(data, bpp, level)
+                    line += f",{len(data)/len(ref):.3f},{int(frame == ref)}"
+            else:
+                line = (f"{name:>16} {bpp:>3} {level:>3} {enc_ms:>8.1f} "
+                        f"{dec_ms:>8.1f} {ratio:>7.2f}")
+                if oracle:
+                    ref = oracle.compress(data, bpp, level)
+                    line += (f" {len(data)/len(ref):>9.2f}"
+                             f" {str(frame == ref):>10}")
             print(line)
 
 
