@@ -179,6 +179,33 @@ def encode_superblocks_pallas(batch: np.ndarray, bpp: int, block_level: int):
     return streams, out_tot.sum(axis=1), bsizes, fsizes
 
 
+def roundtrip_device(batch, bpp: int, block_level: int = 2,
+                     interpret: bool = False):
+    """Device-resident compress -> decompress of (n_sb, sb) data with no
+    host byte traffic: the encode kernel emits the decode index (plane
+    offsets + row records) alongside the frame records, and its output rows
+    feed the decode kernel directly as virtual buffers. The only host touch
+    is reading the compressed sizes to pick a bucketed slice width — exactly
+    what a compressed-array container stores anyway (keep
+    `rows[:, :bucket]` + index + totals in HBM, decode slabs on demand).
+
+    Returns (words (n_sb, nb, 64*bpp) int32 == the original bytes,
+             rows, totals) — rows[:, :totals[i]] are standard frame records.
+    """
+    from .ops.decode_pallas import decode_slabs_body, decode_slabs_jit
+    from .ops.encode_pallas import encode_slabs_index_jit
+
+    n_sb, sbytes = batch.shape
+    nb = sbytes // (256 * bpp)
+    rows, totals, _, _, plane_off, rowtab = encode_slabs_index_jit(
+        batch, bpp, block_level, interpret)
+    rb = _bucket125(int(np.asarray(totals).max()) + 512)
+    rb = min(rb, rows.shape[1])
+    dec = decode_slabs_body if interpret else decode_slabs_jit
+    words = dec(rows[:, :rb], plane_off, rowtab, bpp, nb, interpret)
+    return words, rows, totals
+
+
 class JaxEngine:
     """Engine adapter for frame.py: device compute + host patch-up."""
 
@@ -372,7 +399,7 @@ def decompress_frame_batched(frame: bytes, bpp: int, engine=None):
     n_sb = dsize_total // sb
     nb = sb // block_size
 
-    if (_use_pallas() and (bpp % 4 == 0 or bpp == 2)
+    if (_use_pallas()
             and sb // 256 <= 1024 and hasattr(native, "parse_rows_batch")):
         offs, csizes = [], []
         p = pos

@@ -205,26 +205,20 @@ def make_decode_kernel(bpp: int, nb: int, R: int):
             [p.reshape(1, 1, P) for p in pls], axis=0)  # (16, 1, P)
         planes = (a + bflag * plmat) & 255  # (16, 16, P)
 
-        # ---- 4. regroup planes -> natural-order LE32 words ---------------
-        flat = planes.reshape(256, P).T  # (P, 256): plane-major bytes
-        x = flat.reshape(nb, bpp, 256)
-        if bpp == 2:
-            el = x[:, 0, :] | (x[:, 1, :] << 8)  # (nb, 256) 16-bit elements
-            e2 = el.reshape(nb, 128, 2)
-            wds = e2[:, :, 0] | (e2[:, :, 1] << 16)
-        else:
-            q = bpp // 4
-            wts = []
-            for t in range(q):
-                wv = (x[:, 4 * t, :] | (x[:, 4 * t + 1, :] << 8)
-                      | (x[:, 4 * t + 2, :] << 16)
-                      | (x[:, 4 * t + 3, :] << 24))
-                wts.append(wv[:, :, None])
-            if q == 1:
-                wds = wts[0][:, :, 0]
-            else:
-                wds = jnp.concatenate(wts, axis=2).reshape(nb, 256 * q)
-        out_ref[0] = wds
+        # ---- 4. regroup planes -> natural-order LE32 words (any bpp) -----
+        # Keep bpp out of the LANE-minor position at every step (a (..., 4)
+        # lane dim pads 32x and blew scoped VMEM); bpp only ever appears as
+        # a sublane-adjacent axis (pads to 8 at worst).
+        flat = planes.reshape(256, P).T          # (P, 256)
+        p3 = flat.reshape(nb, bpp, 256)
+        pb = jnp.transpose(p3, (1, 0, 2))        # (bpp, nb, 256)
+        pc = jnp.transpose(pb, (0, 2, 1))        # (bpp, 256, nb)
+        nat = jnp.transpose(pc, (1, 0, 2))       # (256, bpp, nb)
+        x_nat = nat.reshape(256 * bpp, nb)       # natural bytes (s, b)
+        v4 = x_nat.reshape(64 * bpp, 4, nb)
+        wds = (v4[:, 0, :] | (v4[:, 1, :] << 8) | (v4[:, 2, :] << 16)
+               | (v4[:, 3, :] << 24))            # (Sw, nb)
+        out_ref[0] = wds.T
 
     return kernel
 

@@ -185,16 +185,17 @@ def _sub_cumsum(v, n):
 
 
 def make_encode_kernel(bpp: int, nb: int, block_level: int,
-                       mode: str = "xposed"):
+                       mode: str = "xposed", with_index: bool = False):
     """Kernel body (closure over static config).
 
     mode='words': input block is (1, nb, 64*bpp) int32 — the superblock's
     natural bytes viewed as little-endian 32-bit words (a FREE host/device
-    view). The byte-plane split then costs one in-VMEM 2D transpose plus
-    shifts — replacing the XLA byte transpose that dominated the runtime
-    (~29 ms of 30 ms for 16 MB). Requires bpp % 4 == 0 or bpp == 2.
+    view; a 256-element block is always a whole number of words, any bpp).
+    The byte-plane split costs one in-VMEM int32 transpose, shifts, and a
+    Mosaic-native leading-axes transpose — replacing the XLA byte transpose
+    that dominated the runtime (~29 ms of 30 ms for 16 MB).
     mode='xposed': input is the (1, bpp*256, nb) uint8 pre-transposed plane
-    layout (generic fallback for other bpp).
+    layout (kept for reference/debugging).
     """
     S = bpp * 256
     G = bpp * 16
@@ -206,25 +207,17 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
     K = max(1, (nb * V - 1).bit_length())
 
     def build_X_from_words(words):
-        """words (nb, 64*bpp or 128) int32 -> X (S, nb) plane-major bytes."""
-        Wt = words.T  # (Sw, nb)
-        if bpp == 2:
-            parts = []
-            for j in range(2):
-                even = (Wt >> (8 * j)) & 255
-                odd = (Wt >> (8 * j + 16)) & 255
-                inter = jnp.concatenate(
-                    [even[:, None, :], odd[:, None, :]], axis=1)
-                parts.append(inter.reshape(256, Wt.shape[-1]))
-            return jnp.concatenate(parts, axis=0)
-        q = bpp // 4
-        if q == 1:
-            return jnp.concatenate(
-                [(Wt >> (8 * j)) & 255 for j in range(4)], axis=0)
-        W3 = Wt.reshape(256, q, Wt.shape[-1])
-        return jnp.concatenate(
-            [(W3[:, j // 4, :] >> (8 * (j % 4))) & 255 for j in range(bpp)],
-            axis=0)
+        """words (nb, 64*bpp) int32 (natural LE32 view of the superblock)
+        -> X (S, nb) plane-major bytes, for ANY bpp: one int32 transpose,
+        free byte shifts, and a leading-axes transpose (Mosaic-native)."""
+        Wt = words.T  # (Sw = 64*bpp, nb)
+        n = Wt.shape[-1]
+        Sw = 64 * bpp
+        planes4 = jnp.concatenate(
+            [((Wt >> (8 * j)) & 255)[:, None, :] for j in range(4)], axis=1)
+        x_nat = planes4.reshape(4 * Sw, n)  # natural byte order (rc*bpp + j)
+        xpm = x_nat.reshape(256, bpp, n).transpose(1, 0, 2)
+        return xpm.reshape(S, n)
 
     import os as _os
     _stage = int(_os.environ.get("STENOS_ENC_STAGE", "5"))
@@ -235,7 +228,9 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
         bsz_ref[0, 0, :] = jnp.full((nb,), s, jnp.int32)
         fsz_ref[0, 0, :] = jnp.full((nb,), s, jnp.int32)
 
-    def kernel(t_ref, out_ref, bsz_ref, fsz_ref, sp_ref):
+    def kernel(t_ref, out_ref, bsz_ref, fsz_ref, *extra):
+        idx_refs = extra[:-1] if with_index else ()
+        sp_ref = extra[-1]
         if mode == "words":
             X = build_X_from_words(t_ref[0])  # (S, nb)
         else:
@@ -385,6 +380,32 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
         rows18 = jnp.where((code_row == 1)[:, None, :], rawrows, rows18)
         lenR = jnp.where(code_row == 1, 16,
                          jnp.where(normal_row, lenR, 0))
+
+        if with_index:
+            # decode index emitted AT ENCODE TIME: plane offsets + packed
+            # row records, so device-resident round trips skip the host
+            # parser entirely (same contract as stn_parse_rows_batch).
+            # Written BEFORE the S' assembly so analysis temps die early
+            # (Mosaic scoped-VMEM packing).
+            po_ref, rt_ref = idx_refs[0], idx_refs[1]
+            plane_len_i = lenA + lenB + _sum_mid(lenR.reshape(bpp, 16, nb))
+            bsize_i = hdr_w + jnp.sum(plane_len_i, axis=0)
+            pl_excl = _sub_cumsum(plane_len_i, bpp) - plane_len_i
+            b_excl = _lane_cumsum(bsize_i[None, :], nb) - bsize_i[None, :]
+            po_ref[0] = 4 + b_excl + hdr_w + pl_excl
+            lenR3 = lenR.reshape(bpp, 16, nb)
+            relN = 8 + lenB[:, None, :] + (_cumsum_mid(lenR3) - lenR3)
+            r16 = _iota((bpp, 16, nb), 1) * 16
+            c3 = codes[:, None, :]
+            rel = jnp.where(c3 == 0, 1, jnp.where(c3 == 1, r16, relN))
+            h3 = h.reshape(bpp, 16, nb)
+            hdr3 = jnp.where(c3 == 0, 0, jnp.where(c3 == 1, 15, h3))
+            nomin = (h3 == 6) | (h3 == 7) | (h3 == 15)
+            minb3 = minbytes.reshape(bpp, 16, nb)
+            first3 = jnp.broadcast_to(first, (bpp, 16, nb))
+            mn3 = jnp.where(c3 == 0, first3,
+                            jnp.where((c3 == 1) | nomin, 0, minb3))
+            rt_ref[0] = (rel | (hdr3 << 10) | (mn3 << 14)).reshape(G, nb)
         if _stage <= 3:
             _dummy_out(out_ref, bsz_ref, fsz_ref,
                        rows18 + lenR[:, None, :] + minsec + headA)
@@ -434,6 +455,7 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
         bsz_ref[0, 0, :] = bsize
         fsz_ref[0, 0, :] = jnp.sum(psizes, axis=0)
 
+
         # ---- transpose + flat compaction ---------------------------------
         W0 = sp_ref[:, :].T  # (nb, V)
         val = W0 & 255
@@ -465,33 +487,54 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
 
 @lru_cache(maxsize=64)
 def _build_call(n_sb: int, bpp: int, nb: int, block_level: int,
-                interpret: bool, mode: str = "xposed"):
-    kernel, V = make_encode_kernel(bpp, nb, block_level, mode)
+                interpret: bool, mode: str = "xposed",
+                with_index: bool = False):
+    kernel, V = make_encode_kernel(bpp, nb, block_level, mode, with_index)
     if mode == "words":
         in_spec = pl.BlockSpec((1, nb, 64 * bpp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
     else:
         in_spec = pl.BlockSpec((1, bpp * 256, nb), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((1, nb, V), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_sb, nb, V), jnp.uint8),
+        jax.ShapeDtypeStruct((n_sb, 1, nb), jnp.int32),
+        jax.ShapeDtypeStruct((n_sb, 1, nb), jnp.int32),
+    ]
+    if with_index:
+        out_specs += [
+            pl.BlockSpec((1, bpp, nb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bpp * 16, nb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((n_sb, bpp, nb), jnp.int32),
+            jax.ShapeDtypeStruct((n_sb, bpp * 16, nb), jnp.int32),
+        ]
+    params = {}
+    if with_index:
+        # the index outputs push Mosaic's conservative 16M scoped-vmem
+        # default by ~1.5M; the hardware has headroom
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         grid=(n_sb,),
         in_specs=[in_spec],
-        out_specs=(
-            pl.BlockSpec((1, nb, V), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_sb, nb, V), jnp.uint8),
-            jax.ShapeDtypeStruct((n_sb, 1, nb), jnp.int32),
-            jax.ShapeDtypeStruct((n_sb, 1, nb), jnp.int32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((V, nb), jnp.int32)],
         interpret=interpret,
+        **params,
     ), V
 
 
@@ -506,20 +549,15 @@ def encode_slabs_body(data, bpp: int, block_level: int,
     n_sb, sbytes = data.shape
     block_size = 256 * bpp
     nb = sbytes // block_size
-    if bpp % 4 == 0 or bpp == 2:
-        # FREE reinterpret: bytes -> LE32 words; the plane split happens
-        # in-kernel (one VMEM transpose + shifts) instead of an XLA byte
-        # transpose (which ran at ~0.55 GB/s and dominated everything)
-        words = jax.lax.bitcast_convert_type(
-            data.reshape(n_sb, nb, 64 * bpp, 4), jnp.int32)
-        call, V = _build_call(n_sb, bpp, nb, block_level, interpret, "words")
-        out, bsizes, fsizes = call(words)
-    else:
-        # generic fallback: pre-transpose T[(j,rc), b] (one XLA pass)
-        T = data.reshape(n_sb, nb, 256, bpp).transpose(0, 3, 2, 1)
-        T = T.reshape(n_sb, bpp * 256, nb)
-        call, V = _build_call(n_sb, bpp, nb, block_level, interpret, "xposed")
-        out, bsizes, fsizes = call(T)
+    # FREE reinterpret: bytes -> LE32 words; the plane split happens
+    # in-kernel (one VMEM transpose + shifts + a leading-axes transpose)
+    # instead of an XLA byte transpose (which ran at ~0.55 GB/s and
+    # dominated everything). Works for every bpp: a 256-element block is
+    # always a whole number of 32-bit words.
+    words = jax.lax.bitcast_convert_type(
+        data.reshape(n_sb, nb, 64 * bpp, 4), jnp.int32)
+    call, V = _build_call(n_sb, bpp, nb, block_level, interpret, "words")
+    out, bsizes, fsizes = call(words)
     bsizes = bsizes[:, 0, :]
     fsizes = fsizes[:, 0, :]
     rows = out.reshape(n_sb, nb * V)
@@ -530,6 +568,39 @@ def encode_slabs_body(data, bpp: int, block_level: int,
 encode_slabs_jit = partial(
     jax.jit, static_argnames=("bpp", "block_level", "interpret")
 )(encode_slabs_body)
+
+
+def encode_slabs_index_body(data, bpp: int, block_level: int,
+                            interpret: bool = False):
+    """Like encode_slabs_body, but the kernel also emits the DECODE INDEX
+    (plane offsets + packed row records, the stn_parse_rows_batch contract),
+    so device-resident round trips need no host parsing at all:
+    rows feed ops/decode_pallas.decode_slabs_body directly as vbufs.
+
+    Returns (rows, totals, bsizes, fsizes, plane_off (n_sb, P) i32,
+    rowtab (n_sb, 16, P) i32)."""
+    n_sb, sbytes = data.shape
+    block_size = 256 * bpp
+    nb = sbytes // block_size
+    words = jax.lax.bitcast_convert_type(
+        data.reshape(n_sb, nb, 64 * bpp, 4), jnp.int32)
+    call, V = _build_call(n_sb, bpp, nb, block_level, interpret, "words",
+                          True)
+    out, bsizes, fsizes, po_raw, rt_raw = call(words)
+    bsizes = bsizes[:, 0, :]
+    fsizes = fsizes[:, 0, :]
+    rows = out.reshape(n_sb, nb * V)
+    totals = 4 + jnp.sum(bsizes, axis=-1)
+    # reorder to stream-plane order p = b*bpp + j (tiny XLA transposes)
+    plane_off = po_raw.transpose(0, 2, 1).reshape(n_sb, nb * bpp)
+    rowtab = rt_raw.reshape(n_sb, bpp, 16, nb).transpose(0, 2, 3, 1)
+    rowtab = rowtab.reshape(n_sb, 16, nb * bpp)
+    return rows, totals, bsizes, fsizes, plane_off, rowtab
+
+
+encode_slabs_index_jit = partial(
+    jax.jit, static_argnames=("bpp", "block_level", "interpret")
+)(encode_slabs_index_body)
 
 
 MAX_SLAB_NB = 192  # VMEM budget gate: blocks per kernel invocation

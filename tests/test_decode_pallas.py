@@ -19,7 +19,7 @@ from conftest import gen_elements
 pytestmark = pytest.mark.skipif(native is None, reason="no native runtime")
 
 
-@pytest.mark.parametrize("bpp", [2, 4, 8])
+@pytest.mark.parametrize("bpp", [2, 3, 4, 8])
 @pytest.mark.parametrize("kind", ["sorted", "random", "same", "rle"])
 def test_decode_kernel_roundtrip(rng, bpp, kind):
     for nb, level in ((1, 2), (3, 1), (8, 2)):
