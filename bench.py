@@ -153,6 +153,27 @@ def main():
         out = np.ascontiguousarray(np.asarray(words)).view(np.uint8)
         ok_decode = out.reshape(-1).tobytes() == raw.tobytes()
 
+    # --- device-resident closed loop (encode+index -> decode, no host)
+    rt_gbps = 0.0
+    rt_ok = False
+    try:
+        from stenos_tpu.engine_jax import roundtrip_device
+
+        rtb = min(nbytes, 128 * 1024 * 1024)
+        rt_in = batch_dev[: rtb // SB]
+
+        def rt_once():
+            w, rws, tt = roundtrip_device(rt_in, BPP, 2)
+            return w, int(jnp.sum(w))
+
+        w, _ = rt_once()
+        t_rt = min(_timed(lambda: rt_once()[1]) for _ in range(REPS))
+        rt_gbps = rtb / t_rt / 1e9
+        rt_ok = (np.ascontiguousarray(np.asarray(w)).view(np.uint8)
+                 .reshape(-1).tobytes() == raw[:rtb].tobytes())
+    except Exception:
+        pass
+
     # --- entropy stage kernels (device zstd huffman coder), 64MB slice
     ent_hist_gbps = 0.0
     ent_enc_gbps = 0.0
@@ -222,6 +243,8 @@ def main():
                                "D2H fetch (NOTES.md); e2e here is relay-"
                                "bound, not codec-bound",
             "host_parse_gbps": round(host_parse_gbps, 3),
+            "device_roundtrip_gbps": round(rt_gbps, 3),
+            "device_roundtrip_ok": bool(rt_ok),
             "entropy_hist_kernel_gbps": round(ent_hist_gbps, 3),
             "entropy_huffman_kernel_gbps": round(ent_enc_gbps, 3),
             "entropy_frames_decode_via_libzstd": bool(ent_ok),

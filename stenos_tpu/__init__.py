@@ -8,6 +8,8 @@ equivalent) and device/sharded engines under `stenos_tpu.engine_jax` /
 """
 
 from .constants import compress_bound, super_block_size
+from .container import CompressedArray
+from .device_container import DeviceCompressedArray
 from .context import Context
 from .frame import (
     StenosError,
@@ -36,6 +38,8 @@ def default_engine():
     return None
 
 __all__ = [
+    "CompressedArray",
+    "DeviceCompressedArray",
     "compress",
     "decompress",
     "get_info",

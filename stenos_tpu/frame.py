@@ -279,7 +279,6 @@ def compress_superblock_timed(ctx, chunk: np.ndarray, bpp: int,
     elif target_speed < 2e6:
         lz_ratio *= 1.0 + 9 / 12.0
 
-    import time as _time
 
     tick = t.elapsed()
     cblock = _encode_blocks(chunk, bpp, sbytes, lz_ratio, engine,

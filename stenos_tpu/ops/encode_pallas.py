@@ -223,7 +223,10 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
     _stage = int(_os.environ.get("STENOS_ENC_STAGE", "5"))
 
     def _dummy_out(out_ref, bsz_ref, fsz_ref, v):
-        s = jnp.sum(v)
+        if isinstance(v, (list, tuple)):
+            s = sum(jnp.sum(x) for x in v)
+        else:
+            s = jnp.sum(v)
         out_ref[0] = jnp.full(out_ref.shape[1:], s & 255, jnp.uint8)
         bsz_ref[0, 0, :] = jnp.full((nb,), s, jnp.int32)
         fsz_ref[0, 0, :] = jnp.full((nb,), s, jnp.int32)
@@ -318,7 +321,7 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
         normal = (codes == 2) | (codes == 3)
         if _stage <= 2:
             _dummy_out(out_ref, bsz_ref, fsz_ref,
-                       codes + psizes + h + minbytes + sizes4)
+                       [codes, psizes, h, minbytes, sizes4])
             return
 
         # ---- emission values -------------------------------------------
@@ -408,7 +411,7 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
             rt_ref[0] = (rel | (hdr3 << 10) | (mn3 << 14)).reshape(G, nb)
         if _stage <= 3:
             _dummy_out(out_ref, bsz_ref, fsz_ref,
-                       rows18 + lenR[:, None, :] + minsec + headA)
+                       [rows18, lenR, minsec, headA])
             return
 
         # ---- S' assembly: value | valid<<8 at static offsets ------------
