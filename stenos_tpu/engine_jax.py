@@ -1,14 +1,19 @@
-"""JAX/TPU engine: device-side block-codec encode (and decode driver).
+"""JAX/TPU engine: device-side block-codec encode/decode drivers.
 
-TPU-first structure (SURVEY.md §7): the whole batch of superblocks is
-analyzed at once as a (n_sb, nb, bpp, 16, 16) tensor — pure VPU reductions —
-then emission is a size→prefix-sum→scatter pipeline instead of the
-reference's sequential pointer-walking writers. Sequential/host-only pieces
-(intra-block LZ attempts, zstd entropy stage, lz4-dry estimates, frame
-assembly) stay on the host runtime, operating on the device results.
+Two device pipelines share the frame layer's selection logic:
+  - the Pallas mega-kernels (ops/encode_pallas.py, ops/decode_pallas.py),
+    used on real TPUs — analysis, emission and the log-shift compaction run
+    VMEM-resident, one grid step per superblock slab;
+  - the XLA pipeline below (encode_superblocks_body + ops/compact.py),
+    kept for CPU test meshes, sharded dry runs, and as the readable
+    specification of the same math (it is byte-identical to the kernels).
+Sequential/host-only pieces (intra-block LZ attempts, libzstd entropy
+stage, lz4-dry estimates) stay on the host runtime, operating on device
+results.
 
 Reference parity: byte-identical output to codec/encode_np.py (itself
-bit-exact vs the C++ library) — enforced by tests/test_engine_jax.py.
+bit-exact vs the C++ library) — enforced by tests/test_engine_jax.py and
+tests/test_encode_pallas.py.
 """
 
 from functools import partial

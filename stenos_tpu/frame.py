@@ -350,7 +350,18 @@ def compress_generic(ctx, data, bytesoftype: int, dst_size=None) -> bytes:
 
 def compress(data, bytesoftype: int, level: int = 1, dst_size=None,
              engine=None, custom_shift=None, entropy=None) -> bytes:
-    """stenos_compress equivalent. data: bytes / 1D uint8 array."""
+    """stenos_compress equivalent. data: bytes / 1D uint8 array.
+
+    engine: None = host path; a JaxEngine instance = device path;
+    "auto" = device when an accelerator is present AND the input is large
+    enough to amortize dispatch latency (the TPU analog of the reference's
+    CPUID runtime dispatch, simd.h:199-258)."""
+    if engine == "auto":
+        engine = None
+        if len(data) >= 4 * 1024 * 1024:
+            from . import default_engine
+
+            engine = default_engine()
     if isinstance(data, (bytes, bytearray, memoryview)):
         data = np.frombuffer(bytes(data), dtype=np.uint8)
     nbytes = len(data)
@@ -470,6 +481,12 @@ def decompress(frame, bytesoftype: int, dst_size=None, engine=None):
         raise StenosError(ERROR_INVALID_BYTESOFTYPE)
     frame = np.frombuffer(bytes(frame), np.uint8) if not isinstance(
         frame, np.ndarray) else frame
+    if engine == "auto":
+        engine = None
+        if len(frame) >= 1024 * 1024:
+            from . import default_engine
+
+            engine = default_engine()
     if engine is not None and hasattr(engine, "decode_block_stream"):
         from .engine_jax import decompress_frame_batched
 

@@ -10,9 +10,10 @@ log-shift compaction executed in VMEM with zero HBM round-trips between
 stages.
 
 Layout per superblock (bpp, nb = blocks/superblock):
-  input  T (bpp*256, nb) uint8   T[(j*256 + r*16 + c), b] = byte c of row r of
-                                 byte-plane j of block b (pre-transposed once
-                                 in XLA outside the kernel)
+  input  (nb, 64*bpp) int32      the superblock's natural bytes as LE32
+                                 words (a free host/device view); the
+                                 byte-plane split to X (bpp*256, nb) happens
+                                 in-kernel (shifts + Mosaic transposes)
   scratch S' (V, nb) int32       per-block padded section layout: position q
                                  of block b holds value | valid<<8; static
                                  section offsets (hdr4 | block hdr | per plane
