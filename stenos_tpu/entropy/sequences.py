@@ -1,0 +1,167 @@
+"""zstd sequences section with predefined FSE distributions (RFC 8878
+§3.1.1.3.2). Clean-room from the RFC.
+
+First match modality: run matches (offset = 1), found vectorized — the
+match set a TPU can produce without gathers (neighbor compares + run
+segmentation). Generic offsets use the same encoder (offset_value =
+offset + 3); richer match finding is entropy-roadmap work.
+
+Predefined mode means no FSE table headers: both sides use the RFC's fixed
+LL/ML/OF distributions, so the whole section is [n_seqs][modes=0][bitstream].
+"""
+
+import numpy as np
+
+from .fse import BitWriter, FseEncoder
+
+# --- code tables (RFC 8878 §3.1.1.3.2.1.1) --------------------------------
+
+# literal length code: (baseline, nb_extra_bits) for codes 16..35; 0..15 map
+# directly with 0 extra bits
+LL_TABLE = [(16, 1), (18, 1), (20, 1), (22, 1), (24, 2), (28, 2), (32, 3),
+            (40, 3), (48, 4), (64, 6), (128, 7), (256, 8), (512, 9),
+            (1024, 10), (2048, 11), (4096, 12), (8192, 13), (16384, 14),
+            (32768, 15), (65536, 16)]
+
+# match length code: (baseline in MATCH LENGTH, nb_extra) for codes 32..52;
+# codes 0..31 map ml 3..34 with 0 extra bits
+ML_TABLE = [(35, 1), (37, 1), (39, 1), (41, 1), (43, 2), (47, 2), (51, 3),
+            (59, 3), (67, 4), (83, 4), (99, 5), (131, 7), (259, 8),
+            (515, 9), (1027, 10), (2051, 11), (4099, 12), (8195, 13),
+            (16387, 14), (32771, 15), (65539, 16)]
+
+# predefined FSE distributions (RFC 8878 §3.1.1.3.2.2)
+LL_DEFAULT = [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+              2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1]
+LL_LOG = 6
+ML_DEFAULT = [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+              1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+              1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1,
+              -1, -1, -1]
+ML_LOG = 6
+OF_DEFAULT = [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+              1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1]
+OF_LOG = 5
+
+
+def ll_code(ll: int):
+    """literal length -> (code, extra_bits). Extra bit VALUE is the low
+    bits of the raw length (baselines are aligned)."""
+    if ll < 16:
+        return ll, 0
+    for i, (base, nb) in enumerate(LL_TABLE):
+        if ll < base + (1 << nb):
+            return 16 + i, nb
+    raise ValueError(ll)
+
+
+def ml_code(ml: int):
+    """match length (>= 3) -> (code, extra_bits)."""
+    if ml < 35:
+        return ml - 3, 0
+    for i, (base, nb) in enumerate(ML_TABLE):
+        if ml < base + (1 << nb):
+            return 32 + i, nb
+    raise ValueError(ml)
+
+
+def of_code(offset_value: int):
+    """offset_value -> (code = highbit, extra = low bits, nb = code)."""
+    c = offset_value.bit_length() - 1
+    return c, offset_value - (1 << c), c
+
+
+def encode_sequences(seqs) -> bytes:
+    """seqs: list of (literal_length, offset_value, match_length) ->
+    sequences section bytes (predefined mode). offset_value = offset + 3
+    (no repeat-offset encoding — avoids the ll==0 special cases)."""
+    n = len(seqs)
+    out = bytearray()
+    if n < 128:
+        out.append(n)
+    elif n < 0x7F00 + 255:
+        out.append((n >> 8) + 128)
+        out.append(n & 255)
+    else:
+        out += bytes([255, (n - 0x7F00) & 255, (n - 0x7F00) >> 8])
+    if n == 0:
+        return bytes(out)
+    out.append(0)  # all three symbols in Predefined_Mode
+
+    lls = [s[0] for s in seqs]
+    ofs = [s[1] for s in seqs]
+    mls = [s[2] for s in seqs]
+    llc = [ll_code(v) for v in lls]
+    mlc = [ml_code(v) for v in mls]
+    ofc = [of_code(v) for v in ofs]
+
+    e_ll = FseEncoder(np.asarray(LL_DEFAULT), LL_LOG)
+    e_of = FseEncoder(np.asarray(OF_DEFAULT), OF_LOG)
+    e_ml = FseEncoder(np.asarray(ML_DEFAULT), ML_LOG)
+    bw = BitWriter()
+    last = n - 1
+    e_ml.init_state(mlc[last][0])
+    e_of.init_state(ofc[last][0])
+    e_ll.init_state(llc[last][0])
+    # extra-bit values: raw ll (LL baselines are aligned), ml-3 (baselines
+    # align in mlBase = ml - MINMATCH space), offset_value low bits
+    bw.add(lls[last], llc[last][1])
+    bw.add(mls[last] - 3, mlc[last][1])
+    bw.add(ofc[last][1], ofc[last][2])
+    for i in range(n - 2, -1, -1):
+        e_of.encode(bw, ofc[i][0])
+        e_ml.encode(bw, mlc[i][0])
+        e_ll.encode(bw, llc[i][0])
+        bw.add(lls[i], llc[i][1])
+        bw.add(mls[i] - 3, mlc[i][1])
+        bw.add(ofc[i][1], ofc[i][2])
+    e_ml.flush(bw)
+    e_of.flush(bw)
+    e_ll.flush(bw)
+    return bytes(out) + bw.close()
+
+
+def find_run_sequences(data: np.ndarray, min_run: int = 8):
+    """Offset-1 run matches, found vectorized: neighbor-equality runs of
+    total length >= min_run become (ll, offset_value=4, ml) sequences.
+
+    Returns (sequences, literals) or None when not worthwhile. A zstd match
+    needs ml >= 3; the threshold trades sequence overhead (~2-3 B) for
+    saved literals."""
+    n = len(data)
+    if n < 16:
+        return None
+    eq = data[1:] == data[:-1]
+    # run boundaries over the eq mask
+    d = np.diff(eq.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if eq[0]:
+        starts = np.concatenate([[0], starts])
+    if eq[-1]:
+        ends = np.concatenate([ends, [n - 1]])
+    # run of k equal-neighbor flags = k+1 equal bytes at [s, s+k+1)
+    lens = ends - starts + 1  # equal BYTES count per run
+    keep = lens >= min_run
+    if not keep.any():
+        return None
+    starts = starts[keep]
+    lens = lens[keep]
+    if int(lens.sum()) < max(64, n // 64):
+        return None  # not enough matched bytes to pay for the section
+    seqs = []
+    lits = []
+    cursor = 0
+    for s, ln in zip(starts, lens):
+        # keep the first byte as a literal, match the rest at offset 1
+        ll = s + 1 - cursor
+        ml = int(ln) - 1
+        if ml < 3:
+            continue
+        lits.append(data[cursor : s + 1])
+        seqs.append((int(ll), 4, ml))  # offset_value 4 == offset 1
+        cursor = s + int(ln)
+    if not seqs:
+        return None
+    lits.append(data[cursor:])
+    return seqs, np.concatenate(lits) if lits else np.zeros(0, np.uint8)

@@ -79,17 +79,35 @@ def compress_literals(data: np.ndarray):
     return hdr.to_bytes(5, "little") + payload
 
 
+def raw_literals_section(data: np.ndarray) -> bytes:
+    """Raw_Literals_Block, size_format=3 (20-bit size, 3-byte header)."""
+    hdr = 0 | (3 << 2) | (len(data) << 4)
+    return hdr.to_bytes(3, "little") + data.tobytes()
+
+
 def encode_block(data: np.ndarray, last: bool) -> bytes:
     n = len(data)
     if n and (data == data[0]).all():
         bh = int(last) | (1 << 1) | (n << 3)
         return bh.to_bytes(3, "little") + bytes([int(data[0])])
+
+    candidates = []
     lit = compress_literals(data)
-    if lit is None:
-        bh = int(last) | (0 << 1) | (n << 3)
-        return bh.to_bytes(3, "little") + data.tobytes()
-    content = lit + b"\x00"  # sequences section: 0 sequences
-    if len(content) >= n:
+    if lit is not None:
+        candidates.append(lit + b"\x00")  # literals-only, 0 sequences
+
+    from .sequences import encode_sequences, find_run_sequences
+
+    rs = find_run_sequences(data)
+    if rs is not None:
+        seqs, lits = rs
+        lsec = compress_literals(lits)
+        if lsec is None:
+            lsec = raw_literals_section(lits)
+        candidates.append(lsec + encode_sequences(seqs))
+
+    content = min(candidates, key=len) if candidates else None
+    if content is None or len(content) >= n:
         bh = int(last) | (0 << 1) | (n << 3)
         return bh.to_bytes(3, "little") + data.tobytes()
     bh = int(last) | (2 << 1) | (len(content) << 3)
@@ -149,9 +167,15 @@ def encode_frame_device(data, interpret: bool = False) -> bytes:
         lens_all = code_lengths_batch(hist)
         codes_all = build_ctables_batch(lens_all)
         trees = tree_descs_batch(lens_all)
+        # blocks with significant neighbor-equality runs route to the host
+        # encoder, which can emit a sequences section (sequences.py); the
+        # device kernel covers the (typical) literals-only bulk
+        eqc = (full[:, 1:] == full[:, :-1]).sum(axis=1)
+        runny = eqc >= BLOCK_MAX // 32
         metas = []
         for b in range(nfull):
-            if int((lens_all[b] > 0).sum()) < 2 or trees[b] is None:
+            if (runny[b] or int((lens_all[b] > 0).sum()) < 2
+                    or trees[b] is None):
                 metas.append(None)
                 continue
             metas.append((codes_all[b], lens_all[b], trees[b]))

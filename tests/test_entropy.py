@@ -43,3 +43,44 @@ def test_compression_actually_happens(rng):
     a = rng.integers(0, 5, 200_000).astype(np.uint8)
     frame = encode_frame_host(a)
     assert len(frame) < len(a) // 2  # ~2.3 bits/symbol on 5-symbol data
+
+
+def test_sequences_section(rng):
+    """Run matches (offset-1 sequences, predefined FSE tables) compress
+    plateau data far beyond entropy coding and stay libzstd-decodable."""
+    a = np.repeat(rng.integers(0, 256, 3000),
+                  rng.integers(5, 90, 3000)).astype(np.uint8)[:150_000]
+    frame = encode_frame_host(a)
+    back = zstd_host.decompress(frame, len(a) + 16)
+    assert back == a.tobytes()
+    assert len(frame) < len(a) // 8  # literals-only manages ~1.5x here
+
+
+def test_sequences_edges(rng):
+    from stenos_tpu.entropy.sequences import encode_sequences
+    from stenos_tpu.entropy.zstd_frame import raw_literals_section
+
+    # exhaustive-ish ml sweep through every ML code bucket via raw frames
+    for ml in (3, 34, 35, 42, 43, 58, 66, 98, 130, 131, 258, 259, 1027,
+               40000, 70000):
+        lits = rng.integers(1, 255, 8).astype(np.uint8)
+        content = raw_literals_section(lits) + encode_sequences([(5, 4, ml)])
+        n = 8 + ml
+        f = (0xFD2FB528).to_bytes(4, "little") + bytes([0xA0])
+        f += n.to_bytes(4, "little")
+        f += (1 | (2 << 1) | (len(content) << 3)).to_bytes(3, "little")
+        f += content
+        want = (lits[:5].tobytes() + bytes([int(lits[4])]) * ml
+                + lits[5:].tobytes())
+        assert zstd_host.decompress(f, n + 16) == want, ml
+
+
+def test_device_path_routes_runny_blocks(rng):
+    from stenos_tpu.entropy.zstd_frame import encode_frame_device
+
+    a = np.repeat(rng.integers(0, 256, 4000),
+                  rng.integers(20, 90, 4000)).astype(np.uint8)[: 2 * 131072]
+    frame = encode_frame_device(a, interpret=True)
+    back = zstd_host.decompress(frame, len(a) + 16)
+    assert back == a.tobytes()
+    assert len(frame) < len(a) // 8
