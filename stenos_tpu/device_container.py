@@ -69,11 +69,15 @@ class DeviceCompressedArray:
         dtype = a.dtype
         bpp = dtype.itemsize
         # nb must be a power of two <= 128 so serialize()'s custom-shift
-        # frame header (slab = block << shift) is exactly representable
-        nb = 128
+        # frame header (slab = block << shift) is exactly representable;
+        # wide elements get smaller slabs (kernel VMEM scales with bpp*nb)
+        cap = min(128, max(8, 1024 // bpp))
+        nb = 1
+        while nb * 2 <= cap:
+            nb *= 2
         if slab_elems is not None:
             nb = 1
-            while nb * 2 <= min(slab_elems // 256, 128):
+            while nb * 2 <= min(slab_elems // 256, cap):
                 nb *= 2
         slab_elems = nb * 256
         if slab_nb(nb) != nb:

@@ -529,7 +529,7 @@ def _build_call(n_sb: int, bpp: int, nb: int, block_level: int,
         # the index outputs push Mosaic's conservative 16M scoped-vmem
         # default by ~1.5M; the hardware has headroom
         params["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024)
+            vmem_limit_bytes=96 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         grid=(n_sb,),

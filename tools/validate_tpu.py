@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Real-hardware validation: the compiled Pallas paths vs the C++ oracle.
+
+The pytest suite runs on a CPU mesh (kernels in interpret mode); this tool
+drives the COMPILED kernels on the attached accelerator across the parity
+grid — frames must be byte-identical to the reference and round-trip, the
+device closed loop must reproduce inputs, and device-entropy frames must be
+decodable by the reference. Exits nonzero on any mismatch.
+
+Usage: python tools/validate_tpu.py [--quick]
+"""
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+# NB: tests/ is added for the oracle only; do NOT import conftest here —
+# it forces the cpu platform at import time
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+
+import numpy as np
+
+
+def gen_elements(rng, bpp, nelem, kind):
+    hi = 1 << min(8 * bpp - 1, 60)
+    if kind == "sorted":
+        a = np.sort(rng.integers(0, hi, nelem))
+    elif kind == "random":
+        a = rng.integers(0, hi, nelem)
+    elif kind == "same":
+        a = np.full(nelem, 123456789 % hi)
+    elif kind == "rle":
+        a = np.repeat(rng.integers(0, 255, max(1, nelem // 37) + 1),
+                      37)[:nelem]
+    elif kind == "smallrange":
+        a = rng.integers(1000, 1032, nelem)
+    if bpp in (1, 2, 4, 8):
+        return a.astype(f"<u{bpp}").tobytes()
+    return b"".join(int(v).to_bytes(8, "little")[:bpp] for v in a)
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_compilation"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import _oracle as oracle
+    from stenos_tpu import frame as fr
+    from stenos_tpu.engine_jax import JaxEngine, roundtrip_device
+
+    print(f"device: {jax.devices()[0]}")
+    eng = JaxEngine()
+    rng = np.random.default_rng(20260816)
+    fails = 0
+
+    bpps = [2, 4] if args.quick else [1, 2, 3, 4, 6, 8, 12]
+    kinds = ["sorted", "random"] if args.quick else [
+        "sorted", "random", "same", "rle", "smallrange"]
+    levels = [1, 2] if args.quick else [0, 1, 2, 5, 9]
+    sizes = [200_000] if args.quick else [100, 70_001, 400_000]
+
+    for bpp in bpps:
+        for kind in kinds:
+            for nbytes in sizes:
+                data = gen_elements(rng, bpp, nbytes // bpp + 1, kind)
+                data = data[: (nbytes // bpp) * bpp]
+                for level in levels:
+                    mine = fr.compress(
+                        np.frombuffer(data, np.uint8), bpp, level, engine=eng)
+                    ref = oracle.compress(data, bpp, level)
+                    ok_bits = mine == ref
+                    back = fr.decompress(mine, bpp, engine=eng)
+                    ok_rt = bytes(back) == data
+                    ok_x = oracle.decompress(mine, bpp, len(data)) == data
+                    if not (ok_bits and ok_rt and ok_x):
+                        fails += 1
+                        print(f"FAIL bpp={bpp} {kind} n={nbytes} lvl={level}:"
+                              f" bits={ok_bits} rt={ok_rt} oracle={ok_x}")
+        print(f"bpp={bpp}: grid ok")
+
+    # device closed loop
+    sb = 131072
+    for bpp in ([4] if args.quick else [2, 4, 8]):
+        n_sb = 16
+        nb = sb // (256 * bpp)
+        raw = np.frombuffer(
+            gen_elements(rng, bpp, (n_sb * sb) // bpp, "sorted"),
+            np.uint8)[: n_sb * sb]
+        batch = jax.device_put(raw.reshape(n_sb, sb), jax.devices()[0])
+        w, rows, totals = roundtrip_device(batch, bpp, 2)
+        out = np.ascontiguousarray(np.asarray(w)).view(np.uint8).reshape(-1)
+        if out.tobytes() != raw.tobytes():
+            fails += 1
+            print(f"FAIL device roundtrip bpp={bpp}")
+    print("device closed loop ok")
+
+    # device entropy -> reference decodes it
+    noisy = np.cumsum(rng.normal(0, 300, 500_000)).astype("<i4").view(np.uint8)
+    f_dev = fr.compress(noisy, 4, 2, engine=eng, entropy="device")
+    if oracle.decompress(f_dev, 4, len(noisy)) != noisy.tobytes():
+        fails += 1
+        print("FAIL: reference cannot decode device-entropy frame")
+    else:
+        print("device entropy interop ok")
+
+    print("FAILS:", fails)
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
