@@ -118,9 +118,11 @@ def main():
         frame = bytes(frame)
 
         row_bytes = _bucket125(max(csizes) + 512)
-        # warm the page-cached parse buffers, then time
-        native.parse_rows_batch(frame, BPP, SB, offs, csizes, row_bytes,
-                                bufs=_parse_bufs(n_sb, row_bytes, SB // 256))
+        # warm BOTH page-cached parse buffer sets (they alternate), then time
+        for _ in range(2):
+            native.parse_rows_batch(
+                frame, BPP, SB, offs, csizes, row_bytes,
+                bufs=_parse_bufs(n_sb, row_bytes, SB // 256))
         t0 = time.perf_counter()
         pr = native.parse_rows_batch(frame, BPP, SB, offs, csizes, row_bytes,
                                      bufs=_parse_bufs(n_sb, row_bytes,
