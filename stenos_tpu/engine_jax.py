@@ -404,8 +404,7 @@ def decompress_frame_batched(frame: bytes, bpp: int, engine=None):
     n_sb = dsize_total // sb
     nb = sb // block_size
 
-    if (_use_pallas()
-            and sb // 256 <= 1024 and hasattr(native, "parse_rows_batch")):
+    if _use_pallas() and hasattr(native, "parse_rows_batch"):
         offs, csizes = [], []
         p = pos
         for _ in range(n_sb):
@@ -421,9 +420,19 @@ def decompress_frame_batched(frame: bytes, bpp: int, engine=None):
             r = native.parse_rows_batch(frame, bpp, sb, offs, csizes,
                                         row_bytes, bufs=bufs)
             if not isinstance(r, int):
+                # large superblocks (levels >= 3) split into slabs so the
+                # decode kernel's working set stays VMEM-sized; block
+                # boundaries come straight from the parsed plane offsets
+                snb = nb
+                while snb * bpp > 512 and snb % 2 == 0:
+                    snb //= 2
+                if snb != nb:
+                    r = _reslab_parsed(r, csizes, bpp, nb, snb)
+                    if r is None:
+                        return None
                 from .ops.decode_pallas import decode_slabs_jit
 
-                key = ("dec", bpp, nb)
+                key = ("dec", bpp, snb)
                 if key in _PALLAS_SHAPE_FAILURES:
                     return None
                 # explicit device_put: handing numpy straight to the jit
@@ -431,7 +440,7 @@ def decompress_frame_batched(frame: bytes, bpp: int, engine=None):
                 dev = jax.devices()[0]
                 args = [jax.device_put(x, dev) for x in r]
                 try:
-                    words = decode_slabs_jit(*args, bpp, nb)
+                    words = decode_slabs_jit(*args, bpp, snb)
                     out = np.ascontiguousarray(np.asarray(words))
                 except Exception:
                     _PALLAS_SHAPE_FAILURES.add(key)
@@ -578,6 +587,33 @@ def _bucket(n: int) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _reslab_parsed(r, csizes, bpp: int, nb: int, snb: int):
+    """Split per-superblock parse results into per-slab results of snb
+    blocks each (block streams are independent; slab payload spans come
+    from the parsed plane offsets)."""
+    vbufs, plane_off, rowtab = r
+    n_sb = vbufs.shape[0]
+    slabs = nb // snb
+    po3 = plane_off.reshape(n_sb, nb, bpp)
+    starts = po3[:, ::snb, 0]  # (n_sb, slabs) slab payload start offsets
+    ends = np.concatenate(
+        [starts[:, 1:], np.asarray(csizes, np.int64)[:, None]], axis=1)
+    sizes = ends - starts
+    rbs = _bucket125(int(sizes.max()) + 512)
+    vb = np.zeros((n_sb * slabs, rbs), np.uint8)
+    for i in range(n_sb):
+        for s in range(slabs):
+            ln = int(sizes[i, s])
+            if ln < 0 or starts[i, s] + ln > vbufs.shape[1]:
+                return None
+            vb[i * slabs + s, :ln] = vbufs[i, starts[i, s] : ends[i, s]]
+    po_new = (po3.reshape(n_sb, slabs, snb * bpp)
+              - starts[:, :, None]).reshape(n_sb * slabs, snb * bpp)
+    rt_new = rowtab.reshape(n_sb, 16, slabs, snb * bpp).transpose(0, 2, 1, 3)
+    rt_new = np.ascontiguousarray(rt_new).reshape(n_sb * slabs, 16, snb * bpp)
+    return vb, po_new.astype(np.int32), rt_new
 
 
 _PARSE_BUF_CACHE = {}
