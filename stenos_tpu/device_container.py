@@ -14,11 +14,10 @@ stenos.h:159-168) decodable by the C++ reference; deserialize() adopts a
 frame via the batched host parser. Mirrors cvector's serialize contract
 (cvector.hpp:3034-3193) at slab granularity.
 
-Cost model: the random-access index is 3 bytes per (row, plane) record =
-48/256 of the UNCOMPRESSED size (stored packed u16+u8, widened on the fly
-at decode). Net effective ratio on typical compressible data is ~1.4-2.5x
-with O(1) slab access; deriving the index on device from the stream itself
-(only plane offsets kept, 1.6%) is roadmap work (NOTES.md).
+Cost model: the random-access index is ONE int32 per 256-byte plane
+(offset | plane-code<<24) = 1.6% of the uncompressed size; the decode
+kernel derives the row records from the stream's own header bytes in VMEM
+(decode_pallas derive mode), so no rowtab sidecar exists in HBM.
 """
 
 import numpy as np
@@ -40,21 +39,21 @@ class DeviceCompressedArray:
     """
 
     def __init__(self, dtype, slab_bytes: int, nbytes: int, rows, totals,
-                 plane_off, rowtab, tail: bytes):
+                 plane_off, tail: bytes, plane_order: str = "jb"):
         self.dtype = np.dtype(dtype)
         self.slab_bytes = slab_bytes
         self.nbytes = nbytes
         self._rows = rows            # (n_slabs, rb) uint8, device
         self._totals = totals        # (n_slabs,) int32, host numpy
-        self._plane_off = plane_off  # (n_slabs, P) int32, device
-        # index stored packed: relh = rel | hdr<<10 (u16), min (u8)
-        if rowtab is not None and rowtab.dtype == jnp.int32:
-            self._relh = (rowtab & 0x3FFF).astype(jnp.uint16)
-            self._minv = (rowtab >> 14).astype(jnp.uint8)
-        else:
-            self._relh = rowtab
-            self._minv = None
+        self._plane_off = plane_off  # (n_slabs, P) i32, off | code<<24
+        # plane ordering of _plane_off: 'jb' (encoder-native) or 'bj'
+        # (host-parser/stream order, adoption path)
+        self._order = plane_order
         self._tail = tail            # bytes beyond the last full slab
+        # original compressed records (host bytes), kept when adopting an
+        # external frame whose virtual stream differs from its record bytes
+        # (LZ/COPY blocks inlined by the parser); serialize() prefers these
+        self._records = None
 
     # ---------------------------------------------------------- construct
     @classmethod
@@ -89,14 +88,14 @@ class DeviceCompressedArray:
         tail = raw[n_slabs * slab_bytes :].tobytes()
         if n_slabs == 0:
             return cls(dtype, slab_bytes, nbytes, None, np.zeros(0, np.int32),
-                       None, None, tail)
+                       None, tail)
         batch = raw[: n_slabs * slab_bytes].reshape(n_slabs, slab_bytes)
-        rows, totals, _, _, po, rt = encode_slabs_index_jit(
+        rows, totals, _, _, po = encode_slabs_index_jit(
             jnp.asarray(batch), bpp, block_level, _interp())
         totals = np.asarray(totals)
         rb = min(_bucket125(int(totals.max()) + 512), rows.shape[1])
         rows = jnp.asarray(rows[:, :rb])  # drop padding beyond the bucket
-        return cls(dtype, slab_bytes, nbytes, rows, totals, po, rt, tail)
+        return cls(dtype, slab_bytes, nbytes, rows, totals, po, tail, "jb")
 
     @classmethod
     def deserialize(cls, frame: bytes, dtype):
@@ -132,22 +131,31 @@ class DeviceCompressedArray:
         if isinstance(r, int):
             data = fr.decompress(frame, bpp)
             return cls.from_array(np.frombuffer(bytes(data), dtype))
-        vbufs, plane_off, rowtab = r
+        vbufs, plane_off, _rowtab, vlens = r
+        row_bytes = vbufs.shape[1]  # may have grown on the LZ-retry path
         tail = b""
         if dsize > n_full * sb:  # short last superblock: decode on host
             tail = bytes(fr.decompress(frame, bpp)[n_full * sb :])
         # note: parsed offsets are payload-relative; the kernel contract is
-        # record-relative (4-byte header included) — prepend headers
-        rows = np.zeros((n_full, row_bytes), np.uint8)
+        # record-relative (4-byte header included) — prepend headers.
+        # rows hold the VIRTUAL stream (length vlens[i], >= csize when LZ
+        # blocks were inlined); the original records are kept separately so
+        # serialize() re-emits the adopted frame bytes verbatim.
+        # width stays a multiple of 128 (decode kernel reshapes to 128-lanes)
+        rows = np.zeros((n_full, -(-(row_bytes + 4) // 128) * 128), np.uint8)
         totals = np.zeros(n_full, np.int32)
+        records = []
         for i in range(n_full):
-            c = csizes[i]
+            v = int(vlens[i])
             rows[i, :4] = np.frombuffer(
                 frame[offs[i] - 4 : offs[i]], np.uint8)
-            rows[i, 4 : 4 + c] = vbufs[i, :c]
-            totals[i] = c + 4
-        return cls(dtype, sb, dsize, jnp.asarray(rows), totals,
-                   jnp.asarray(plane_off + 4), jnp.asarray(rowtab), tail)
+            rows[i, 4 : 4 + v] = vbufs[i, :v]
+            totals[i] = v + 4
+            records.append(frame[offs[i] - 4 : offs[i] + csizes[i]])
+        self = cls(dtype, sb, dsize, jnp.asarray(rows), totals,
+                   jnp.asarray(plane_off + 4), tail, "bj")
+        self._records = records
+        return self
 
     # ------------------------------------------------------------- access
     @property
@@ -165,14 +173,12 @@ class DeviceCompressedArray:
         return b4.reshape(-1)
 
     def _decode_range(self, s0: int, s1: int):
-        from .ops.decode_pallas import decode_slabs_jit
+        from .ops.decode_pallas import decode_slabs_derive_jit
 
         nb = self.slab_bytes // (256 * self.dtype.itemsize)
-        rowtab = (self._relh[s0:s1].astype(jnp.int32)
-                  | (self._minv[s0:s1].astype(jnp.int32) << 14))
-        return decode_slabs_jit(
+        return decode_slabs_derive_jit(
             self._rows[s0:s1], self._plane_off[s0:s1],
-            rowtab, self.dtype.itemsize, nb, _interp())
+            self.dtype.itemsize, nb, self._order, _interp())
 
     def to_array(self) -> np.ndarray:
         out = np.empty(self.nbytes, np.uint8)
@@ -214,8 +220,7 @@ class DeviceCompressedArray:
         if self._rows is None:
             return len(self._tail)
         return (int(self._rows.shape[0]) * int(self._rows.shape[1])
-                + self._plane_off.size * 4 + self._relh.size * 2
-                + self._minv.size + len(self._tail))
+                + self._plane_off.size * 4 + len(self._tail))
 
     def current_compression_ratio(self) -> float:
         return self.nbytes / max(self.memory_footprint(), 1)
@@ -229,7 +234,10 @@ class DeviceCompressedArray:
         out = bytearray()
         out += bytes([255]) + self.nbytes.to_bytes(7, "little")
         out += self.slab_bytes.to_bytes(4, "little")
-        if self.n_slabs:
+        if self._records is not None:
+            for rec in self._records:
+                out += rec
+        elif self.n_slabs:
             rows = np.asarray(self._rows)
             for i in range(self.n_slabs):
                 out += bytes(rows[i][: self._totals[i]])

@@ -185,29 +185,35 @@ def encode_superblocks_pallas(batch: np.ndarray, bpp: int, block_level: int):
 
 
 def roundtrip_device(batch, bpp: int, block_level: int = 2,
-                     interpret: bool = False):
+                     interpret: bool = False, rb: int | None = None):
     """Device-resident compress -> decompress of (n_sb, sb) data with no
     host byte traffic: the encode kernel emits the decode index (plane
-    offsets + row records) alongside the frame records, and its output rows
-    feed the decode kernel directly as virtual buffers. The only host touch
-    is reading the compressed sizes to pick a bucketed slice width — exactly
-    what a compressed-array container stores anyway (keep
-    `rows[:, :bucket]` + index + totals in HBM, decode slabs on demand).
+    offsets with 2-bit plane codes) alongside the frame records, and its
+    output rows feed the derive-index decode kernel directly as virtual
+    buffers — the kernel reconstructs the row records from the stream's own
+    header bytes, so there is no rowtab sidecar at all.
+
+    rb: stream slice width (multiple of 128). When None the compressed-size
+    max is read back once to pick a bucket (one D2H sync — what a container
+    does at construction; steady-state callers pass a known rb and the loop
+    stays fully on-device).
 
     Returns (words (n_sb, nb, 64*bpp) int32 == the original bytes,
              rows, totals) — rows[:, :totals[i]] are standard frame records.
     """
-    from .ops.decode_pallas import decode_slabs_body, decode_slabs_jit
+    from .ops.decode_pallas import (decode_slabs_derive_body,
+                                    decode_slabs_derive_jit)
     from .ops.encode_pallas import encode_slabs_index_jit
 
     n_sb, sbytes = batch.shape
     nb = sbytes // (256 * bpp)
-    rows, totals, _, _, plane_off, rowtab = encode_slabs_index_jit(
+    rows, totals, _, _, plane_off = encode_slabs_index_jit(
         batch, bpp, block_level, interpret)
-    rb = _bucket125(int(np.asarray(totals).max()) + 512)
+    if rb is None:
+        rb = _bucket125(int(np.asarray(totals).max()) + 512)
     rb = min(rb, rows.shape[1])
-    dec = decode_slabs_body if interpret else decode_slabs_jit
-    words = dec(rows[:, :rb], plane_off, rowtab, bpp, nb, interpret)
+    dec = decode_slabs_derive_body if interpret else decode_slabs_derive_jit
+    words = dec(rows[:, :rb], plane_off, bpp, nb, "jb", interpret)
     return words, rows, totals
 
 
@@ -415,37 +421,61 @@ def decompress_frame_batched(frame: bytes, bpp: int, engine=None):
             csizes.append(csize)
             p += 4 + csize
         if len(offs) == n_sb:
-            row_bytes = _bucket125(max(csizes) + 512)
-            bufs = _parse_bufs(n_sb, row_bytes, sb // 256)
-            r = native.parse_rows_batch(frame, bpp, sb, offs, csizes,
-                                        row_bytes, bufs=bufs)
-            if not isinstance(r, int):
-                # large superblocks (levels >= 3) split into slabs so the
-                # decode kernel's working set stays VMEM-sized; block
-                # boundaries come straight from the parsed plane offsets
-                snb = nb
-                while snb * bpp > 512 and snb % 2 == 0:
-                    snb //= 2
-                if snb != nb:
-                    r = _reslab_parsed(r, csizes, bpp, nb, snb)
-                    if r is None:
-                        return None
-                from .ops.decode_pallas import decode_slabs_jit
+            # PIPELINED host parse || device decode: the frame is processed
+            # in chunks of superblocks; each chunk's decode dispatch is
+            # asynchronous, so chunk k's kernel overlaps the host parse of
+            # chunk k+1 (double-buffered parse output arrays make the
+            # in-flight H2D safe). e2e cost tends to max(parse, kernel)
+            # instead of their sum.
+            snb = nb
+            while snb * bpp > 512 and snb % 2 == 0:
+                snb //= 2
+            from .ops.decode_pallas import decode_slabs_jit
 
-                key = ("dec", bpp, snb)
-                if key in _PALLAS_SHAPE_FAILURES:
-                    return None
-                # explicit device_put: handing numpy straight to the jit
-                # dispatch goes through a pathologically slow relay path
+            key = ("dec", bpp, snb)
+            if key not in _PALLAS_SHAPE_FAILURES:
+                CHUNK = max(1, (64 * 1024 * 1024) // sb)
+                row_bytes = _bucket125(max(csizes) + 512)
                 dev = jax.devices()[0]
-                args = [jax.device_put(x, dev) for x in r]
-                try:
-                    words = decode_slabs_jit(*args, bpp, snb)
-                    out = np.ascontiguousarray(np.asarray(words))
-                except Exception:
-                    _PALLAS_SHAPE_FAILURES.add(key)
-                    return None
-                return out.view(np.uint8).reshape(-1)
+                pending, done = [], []
+                ok = True
+                for c0 in range(0, n_sb, CHUNK):
+                    c1 = min(c0 + CHUNK, n_sb)
+                    bufs = _parse_bufs(c1 - c0, row_bytes, sb // 256)
+                    r = native.parse_rows_batch(
+                        frame, bpp, sb, offs[c0:c1], csizes[c0:c1],
+                        row_bytes, bufs=bufs)
+                    if isinstance(r, int):
+                        ok = False
+                        break
+                    vbufs3, po3, rt3, vlens = r
+                    r3 = (vbufs3, po3, rt3)
+                    if snb != nb:
+                        # large superblocks (levels >= 3) split into slabs
+                        # so the kernel working set stays VMEM-sized
+                        r3 = _reslab_parsed(r3, vlens, bpp, nb, snb)
+                        if r3 is None:
+                            ok = False
+                            break
+                    args = [jax.device_put(x, dev) for x in r3]
+                    try:
+                        pending.append(decode_slabs_jit(*args, bpp, snb))
+                    except Exception:
+                        _PALLAS_SHAPE_FAILURES.add(key)
+                        ok = False
+                        break
+                    while len(pending) > 2:  # bound in-flight buffer reuse
+                        done.append(np.ascontiguousarray(
+                            np.asarray(pending.pop(0))))
+                if ok and (pending or done):
+                    try:
+                        done += [np.ascontiguousarray(np.asarray(w))
+                                 for w in pending]
+                    except Exception:
+                        _PALLAS_SHAPE_FAILURES.add(key)
+                    else:
+                        return np.concatenate(
+                            [o.view(np.uint8).reshape(-1) for o in done])
 
     bufs, poffs, rels, hdrs, mns = [], [], [], [], []
     for _ in range(n_sb):
@@ -516,49 +546,54 @@ def _encode_with_headers_jit(data, bpp: int, level: int):
     return rows, sizes, offs.astype(jnp.int32)
 
 
-def _frame_assemble_kernel(offs_ref, hdr_ref, rows_ref, out_ref, sem):
-    """One DMA per grid step: ordered overlapping copies build the ragged
-    frame (later rows overwrite earlier rows' padding). DMAs are
-    byte-addressable, sidestepping Mosaic's vector-alignment constraints."""
-    from jax.experimental.pallas import tpu as pltpu
+@partial(jax.jit, static_argnames=("cap",), donate_argnums=())
+def _frame_assemble_jit(rows, offs, header, cap: int):
+    n_sb, w = rows.shape
+    base = header.shape[0]
+    frame = jnp.zeros(cap, jnp.uint8)
+    frame = jax.lax.dynamic_update_slice(frame, header, (0,))
 
-    i = pl.program_id(0)
-    max_w = rows_ref.shape[1]
+    def body(i, fr):
+        # ordered overlapping copies build the ragged frame: later rows
+        # overwrite earlier rows' padding (the parallel-memcpy round of
+        # stenos.cpp:992-1004); XLA keeps the loop carry in place
+        return jax.lax.dynamic_update_slice(
+            fr, jax.lax.dynamic_index_in_dim(rows, i, keepdims=False),
+            (offs[i],))
 
-    @pl.when(i == 0)
-    def _():
-        d = pltpu.make_async_copy(hdr_ref, out_ref.at[pl.ds(0, 8)], sem)
-        d.start()
-        d.wait()
-
-    d = pltpu.make_async_copy(
-        rows_ref.at[i], out_ref.at[pl.ds(offs_ref[i], max_w)], sem
-    )
-    d.start()
-    d.wait()
+    return jax.lax.fori_loop(0, n_sb, body, frame)
 
 
-def _frame_assemble(rows, offs, header8, cap: int):
-    from jax.experimental.pallas import tpu as pltpu
+def _frame_assemble(rows, offs, header, cap: int):
+    """Ragged frame assembly in HBM. header: frame header bytes (8, or 12
+    for custom-blocksize frames); offs must already include the header
+    length.
 
-    n_sb = rows.shape[0]
-    interpret = jax.default_backend() == "cpu"
-    return pl.pallas_call(
-        _frame_assemble_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_sb,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            scratch_shapes=[pltpu.SemaphoreType.DMA],
-        ),
-        out_shape=jax.ShapeDtypeStruct((cap,), jnp.uint8),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(offs, header8, rows)
+    Byte-granular DMA offsets do not lower through Mosaic on this
+    toolchain (tile-divisibility proofs fail), so this is a fori_loop of
+    in-place dynamic_update_slice — one contiguous HBM copy per
+    superblock, the XLA spelling of the reference's parallel memcpy
+    round."""
+    cap = max(int(cap), header.shape[0])
+    return _frame_assemble_jit(rows, offs, header, cap)
+
+
+def frame_header_bytes(nbytes: int, sb: int, bpp: int, level: int):
+    """Frame header for a device-assembled frame: the standard shift byte
+    when sb matches the level's superblock size, else the custom-blocksize
+    form (shift 255 + LE32 sb, stenos.cpp:868-874)."""
+    from .frame import _superblock_params
+
+    try:
+        std_sb, shift = _superblock_params(bpp, nbytes, level)
+    except Exception:
+        std_sb, shift = -1, 0
+    if sb == std_sb:
+        hdr = bytes([shift]) + nbytes.to_bytes(7, "little")
+    else:
+        hdr = bytes([255]) + nbytes.to_bytes(7, "little") \
+            + sb.to_bytes(4, "little")
+    return np.frombuffer(hdr, np.uint8)
 
 
 def compress_frame_device_jit(data, bpp: int, level: int):
@@ -574,11 +609,11 @@ def compress_frame_device_jit(data, bpp: int, level: int):
     n_sb, sb = data.shape
     nbytes = n_sb * sb
     rows, sizes, offs = _encode_with_headers_jit(data, bpp, level)
-    hdr = np.zeros(8, np.uint8)
-    hdr[1:8] = np.frombuffer(int(nbytes).to_bytes(7, "little"), np.uint8)
-    cap = 8 + n_sb * rows.shape[1]
-    frame = _frame_assemble(rows, offs, jnp.asarray(hdr), cap)
-    frame_len = 8 + jnp.sum(sizes)
+    hdr = frame_header_bytes(nbytes, sb, bpp, level)
+    base = len(hdr)
+    cap = base + n_sb * rows.shape[1]
+    frame = _frame_assemble(rows, offs + (base - 8), jnp.asarray(hdr), cap)
+    frame_len = base + jnp.sum(sizes)
     return frame, frame_len
 
 
@@ -589,17 +624,20 @@ def _bucket(n: int) -> int:
     return b
 
 
-def _reslab_parsed(r, csizes, bpp: int, nb: int, snb: int):
+def _reslab_parsed(r, vlens, bpp: int, nb: int, snb: int):
     """Split per-superblock parse results into per-slab results of snb
     blocks each (block streams are independent; slab payload spans come
-    from the parsed plane offsets)."""
+    from the parsed plane offsets). The LAST slab ends at the parser's
+    VIRTUAL length (vlens), not csize: LZ/COPY blocks are inlined expanded,
+    so the virtual stream can be longer than the compressed record."""
     vbufs, plane_off, rowtab = r
     n_sb = vbufs.shape[0]
     slabs = nb // snb
     po3 = plane_off.reshape(n_sb, nb, bpp)
-    starts = po3[:, ::snb, 0]  # (n_sb, slabs) slab payload start offsets
+    # low 24 bits are the offset (plane codes ride bits 24-25)
+    starts = po3[:, ::snb, 0] & 0xFFFFFF  # (n_sb, slabs) slab start offsets
     ends = np.concatenate(
-        [starts[:, 1:], np.asarray(csizes, np.int64)[:, None]], axis=1)
+        [starts[:, 1:], np.asarray(vlens, np.int64)[:, None]], axis=1)
     sizes = ends - starts
     rbs = _bucket125(int(sizes.max()) + 512)
     vb = np.zeros((n_sb * slabs, rbs), np.uint8)
@@ -619,21 +657,22 @@ def _reslab_parsed(r, csizes, bpp: int, nb: int, snb: int):
 _PARSE_BUF_CACHE = {}
 
 
-def _parse_bufs(n_sb: int, row_bytes: int, P: int):
-    """Double-buffered page-warm parse output arrays (alternating pair so an
-    in-flight async device_put is never overwritten by the next parse)."""
+def _parse_bufs(n_sb: int, row_bytes: int, P: int, slots: int = 4):
+    """Rotating page-warm parse output arrays: an in-flight async
+    device_put is never overwritten by the next parse as long as fewer
+    than `slots` chunks are in flight (the pipelined decode keeps <= 2)."""
     key = (n_sb, row_bytes, P)
     entry = _PARSE_BUF_CACHE.get(key)
     if entry is None:
         entry = [0, []]
-        for _ in range(2):
+        for _ in range(slots):
             entry[1].append((
                 np.empty((n_sb, row_bytes), np.uint8),
                 np.empty((n_sb, P), np.int32),
                 np.empty((n_sb, 16, P), np.int32),
             ))
         _PARSE_BUF_CACHE[key] = entry
-    entry[0] ^= 1
+    entry[0] = (entry[0] + 1) % len(entry[1])
     return entry[1][entry[0]]
 
 

@@ -1,0 +1,201 @@
+"""Device (Pallas) Huffman literal DECODE with anchor sidecars.
+
+The zstd literals bitstream is a backward-read prefix code — inherently
+sequential. The reference decodes it with per-thread libzstd on the host
+(stenos.cpp:681-753); on a TPU host (1 core) that is the decompress
+bottleneck, and worse, the data leaves HBM. This kernel keeps entropy-coded
+data device-resident: ANCHORS (the bit offset of every K=128th symbol,
+emitted for free by the encode kernel — its per-row inclusive prefix sums
+ARE the anchors) make segments independent, so 256 segments per 32 KiB
+stream decode in parallel across lanes while each runs the canonical-code
+state machine sequentially:
+
+  1. window gather: each segment's <= 192 stream bytes fetched as three
+     128-byte rows via the one-hot bf16 MXU matmul + 7-roll alignment
+     (the decode_pallas.py stage-1 pattern).
+  2. K sequential steps, all segments in parallel: extract the 11-bit
+     lookahead (3 dynamic byte selects over the window), determine the code
+     length by ranging the left-aligned window against the canonical
+     per-length bases (11 compares), advance the bit cursor.
+  3. symbol materialization: ranks -> symbols via a 256-select over the
+     (length-desc, symbol-asc) sorted table, vectorized over all K*S
+     positions at once.
+
+Canonical convention matches huffman.build_ctable: codes dealt from 0
+upward starting at the LONGEST length; for length l the codes occupy
+[base_l, base_l + n_l) and left-aligned 11-bit windows tile [0, 2^11).
+"""
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .huffman import MAX_BITS
+
+
+def anchors_host(data: np.ndarray, lens_lut: np.ndarray) -> np.ndarray:
+    """Host reference for the encode kernel's anchor output: data (32768,)
+    symbols, lens_lut (256,) code lengths -> (256,) int32 bit read
+    positions (anchors[g] = position of symbol g*K, counting from the
+    stream bottom; anchors[0] = total bits)."""
+    lens_em = lens_lut[np.asarray(data)[::-1]].astype(np.int64)
+    incl = np.cumsum(lens_em)
+    return incl[127::128][::-1].astype(np.int32)
+
+
+K = 128            # symbols per segment (anchor spacing)
+SEGS = 256         # segments per 32 KiB stream
+STREAM = K * SEGS  # 32768 symbols
+WB = 384           # gathered window bytes per segment (3 x 128)
+
+
+def _iota(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def decode_tables(lengths: np.ndarray):
+    """lengths (256,) -> packed (1, 304) int32 decode table:
+    [base(12) | n(12) | offset(12) | pad(4) | sorted_syms(256) | pad(8)].
+
+    offset_l = rank of the first length-l code in the (length desc, symbol
+    asc) sorted symbol list; base_l = first canonical code value of length
+    l (0 when none)."""
+    lengths = np.asarray(lengths, np.int32)
+    base = np.zeros(12, np.int64)
+    n = np.zeros(12, np.int64)
+    off = np.zeros(12, np.int64)
+    sorted_syms = []
+    code = 0
+    prev = MAX_BITS
+    for ln in range(MAX_BITS, 0, -1):
+        code >>= (prev - ln)
+        prev = ln
+        syms = np.nonzero(lengths == ln)[0]
+        base[ln] = code
+        n[ln] = len(syms)
+        off[ln] = len(sorted_syms)
+        sorted_syms.extend(int(s) for s in syms)
+        code += len(syms)
+    syms = np.zeros(256, np.int64)
+    syms[: len(sorted_syms)] = sorted_syms
+    out = np.zeros(304, np.int32)
+    out[0:12] = base
+    out[12:24] = n
+    out[24:36] = off
+    out[40:296] = syms
+    return out.reshape(1, 304)
+
+
+def make_decode_kernel(R: int):
+    """Grid step = one 32 KiB stream. R = stream byte rows (R*128 bytes)."""
+    S = SEGS
+
+    def kernel(sb_ref, anch_ref, tab_ref, out_ref):
+        r0 = anch_ref[0]               # (S, 1) segment read positions
+        tab = tab_ref[0]               # (1, 304)
+
+        # ---- 1. window gather (MXU one-hot + rotate) ---------------------
+        # window covers bits [r - 11*K, r): start byte w0 = max(r-1408,0)/8
+        rcol = r0                      # (S, 1) read positions (bits)
+        lob = jnp.maximum(rcol - 11 * K, 0) >> 3  # first byte needed
+        ridx = (lob >> 7) + _iota((S, 1, 3), 2).reshape(S, 3)
+        ridx = jnp.minimum(ridx, R - 1)
+        oh = (_iota((S, 3, R), 2) == ridx[:, :, None]).reshape(
+            S * 3, R).astype(jnp.bfloat16)
+        vbf = sb_ref[0].astype(jnp.int32).astype(jnp.bfloat16)  # (R, 128)
+        g = jax.lax.dot_general(
+            oh, vbf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        win = g.astype(jnp.int32).reshape(S, WB)
+        rot = lob & 127
+        for k in range(7):
+            bit = 1 << k
+            rolled = pltpu.roll(win, WB - bit, axis=1)
+            win = jnp.where((rot & bit) != 0, rolled, win)
+        win = win[:, :192]             # bits live in the first 192 bytes
+
+        # ---- 2. sequential canonical decode, segments in lanes -----------
+        base = [tab[0, l] for l in range(1, 12)]
+        nl = [tab[0, 12 + l] for l in range(1, 12)]
+        off = [tab[0, 24 + l] for l in range(1, 12)]
+        sub = _iota((S, 192), 1)
+        rloc = rcol - (lob << 3)       # bit cursor local to window (S, 1)
+        cols = []
+        for _ in range(K):
+            # lookahead window may hang below bit 0 near the stream bottom:
+            # clamp and LEFT-align so the code's MSB always sits at bit 10
+            lo = jnp.maximum(rloc - 11, 0)
+            bidx = lo >> 3             # (S, 1): lowest byte of the window
+            sh = lo & 7
+            m0 = sub == bidx
+            m1 = sub == bidx + 1
+            m2 = sub == bidx + 2
+            b0 = jnp.sum(jnp.where(m0, win, 0), axis=1, keepdims=True)
+            b1 = jnp.sum(jnp.where(m1, win, 0), axis=1, keepdims=True)
+            b2 = jnp.sum(jnp.where(m2, win, 0), axis=1, keepdims=True)
+            v = b0 | (b1 << 8) | (b2 << 16)
+            W = ((v >> sh) << jnp.maximum(11 - rloc, 0)) & 0x7FF
+            ln_v = jnp.zeros((S, 1), jnp.int32)
+            idx_v = jnp.zeros((S, 1), jnp.int32)
+            for l in range(1, 12):
+                cand = W >> (11 - l)
+                hit = (cand >= base[l - 1]) & (cand < base[l - 1] + nl[l - 1])
+                fresh = hit & (ln_v == 0)
+                ln_v = jnp.where(fresh, l, ln_v)
+                idx_v = jnp.where(fresh, off[l - 1] + cand - base[l - 1],
+                                  idx_v)
+            cols.append(idx_v)
+            rloc = rloc - ln_v
+        ranks = jnp.concatenate(cols, axis=1)  # (S, K) symbol ranks
+
+        # ---- 3. ranks -> symbols (256-select, bulk) ----------------------
+        out = jnp.zeros((S, K), jnp.int32)
+        for s in range(256):
+            out = jnp.where(ranks == s, tab[0, 40 + s], out)
+        out_ref[0] = out
+
+    return kernel
+
+
+@lru_cache(maxsize=16)
+def _decode_call(ns: int, R: int, interpret: bool):
+    kernel = make_decode_kernel(R)
+    return pl.pallas_call(
+        kernel,
+        grid=(ns,),
+        in_specs=[
+            pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SEGS, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 304), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, SEGS, K), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ns, SEGS, K), jnp.int32),
+        interpret=interpret,
+    )
+
+
+def decode_streams_device(stream_bytes, anchors, tables,
+                          interpret: bool = False):
+    """stream_bytes (ns, R*128) uint8 (huffman bitstreams, zero-padded);
+    anchors (ns, 256) int32 — bit read-position of segment g's first symbol
+    (anchors[g] = incl_bits at emission index STREAM-1-g*K; the encoder's
+    per-row prefix column reversed); tables (ns, 304) int32 from
+    decode_tables. Returns (ns, 32768) int32 symbols."""
+    ns = stream_bytes.shape[0]
+    R = stream_bytes.shape[1] // 128
+    call = _decode_call(ns, R, interpret)
+    out = call(
+        stream_bytes.reshape(ns, R, 128),
+        anchors.reshape(ns, SEGS, 1),
+        tables.reshape(ns, 1, 304),
+    )
+    return out.reshape(ns, STREAM)

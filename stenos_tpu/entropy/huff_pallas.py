@@ -88,7 +88,7 @@ def _flat_cumsum(v, R):
 
 
 def make_stream_kernel():
-    def kernel(x_ref, lut_ref, jl_ref, jr_ref, out_ref, size_ref):
+    def kernel(x_ref, lut_ref, jl_ref, jr_ref, out_ref, size_ref, anch_ref):
         X = x_ref[0].astype(jnp.int32)  # (RS, 128) natural order
         # reverse to encoding order (huff0 emits the last symbol first)
         xb = X.astype(jnp.bfloat16)
@@ -109,6 +109,10 @@ def make_stream_kernel():
 
         incl = _flat_cumsum(lens, RS)
         total = incl[RS - 1, 127]
+        # decode anchors for free: the per-row inclusive prefix column IS
+        # the bit read-position of every 128th ORIGINAL symbol (reversed) —
+        # anchors[g] = incl_em[(255-g)*128+127] (huff_decode_pallas.py)
+        anch_ref[0] = incl[:, 127:128]
         off = incl - lens
         w0 = off >> 5
         sh = off & 31
@@ -179,10 +183,13 @@ def _stream_call(ns: int, interpret: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RS, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((ns, WOUT_ROWS, 128), jnp.int32),
             jax.ShapeDtypeStruct((ns, 1, 128), jnp.int32),
+            jax.ShapeDtypeStruct((ns, RS, 1), jnp.int32),
         ),
         interpret=interpret,
     )
@@ -200,14 +207,20 @@ def _anti_identities():
     return _J_CACHE["jl"], _J_CACHE["jr"]
 
 
-def encode_streams_device(streams, luts, interpret: bool = False):
+def encode_streams_device(streams, luts, interpret: bool = False,
+                          with_anchors: bool = False):
     """streams (ns, 32768) uint8; luts (ns, 256) int32 (code | len<<11).
-    -> (words (ns, WOUT_ROWS*128) int32 LE bitstreams, sizes (ns,) bytes)."""
+    -> (words (ns, WOUT_ROWS*128) int32 LE bitstreams, sizes (ns,) bytes
+    [, anchors (ns, 256) int32 — decode read positions, already reversed to
+    segment order for huff_decode_pallas])."""
     ns = streams.shape[0]
     call = _stream_call(ns, interpret)
     jl, jr = _anti_identities()
-    words, sizes = call(
+    words, sizes, anch = call(
         streams.reshape(ns, RS, 128), luts.reshape(ns, 1, 256), jl, jr)
+    if with_anchors:
+        return (words.reshape(ns, WOUT_ROWS * 128), sizes[:, 0, 0],
+                anch[:, ::-1, 0])
     return words.reshape(ns, WOUT_ROWS * 128), sizes[:, 0, 0]
 
 

@@ -1,14 +1,14 @@
-"""zstd sequences section with predefined FSE distributions (RFC 8878
-§3.1.1.3.2). Clean-room from the RFC.
+"""zstd sequences section (RFC 8878 §3.1.1.3.2). Clean-room from the RFC.
 
-First match modality: run matches (offset = 1), found vectorized — the
-match set a TPU can produce without gathers (neighbor compares + run
-segmentation). Generic offsets use the same encoder (offset_value =
-offset + 3); richer match finding is entropy-roadmap work.
-
-Predefined mode means no FSE table headers: both sides use the RFC's fixed
-LL/ML/OF distributions, so the whole section is [n_seqs][modes=0][bitstream].
-"""
+Two match sources feed this encoder: vectorized offset-1 run matches
+(find_run_sequences below) and the general-offset sort-based matcher
+(entropy/match.py). Each of the three symbol channels (LL/OF/ML)
+independently picks Predefined_Mode (RFC fixed distributions, no header),
+RLE_Mode (single symbol, 1-byte header) or FSE_Compressed_Mode (custom
+normalized table serialized as an NCount header — the
+FSE_writeNCount-equivalent lives in fse.write_ncount) by exact cost,
+mirroring the three-way choice libzstd makes inside the reference's
+entropy stage (zstd_wrapper.h:59-90)."""
 
 import numpy as np
 
@@ -71,22 +71,82 @@ def of_code(offset_value: int):
     return c, offset_value - (1 << c), c
 
 
-def encode_sequences(seqs) -> bytes:
+class _RleEncoder:
+    """Mode-1 channel: table log 0 — zero bits per symbol, zero-bit states."""
+
+    def init_state(self, sym):
+        pass
+
+    def encode(self, bw, sym):
+        pass
+
+    def flush(self, bw):
+        pass
+
+
+def _channel_plan(codes, default_norm, default_log, max_log):
+    """Pick Predefined / RLE / FSE_Compressed for one symbol channel.
+
+    codes: list of (code, nb_extra) pairs for the channel.
+    Returns (mode, header_bytes, encoder_factory). Cost model: exact header
+    size + Shannon bits of the code stream under each table
+    (zstd_wrapper.h's libzstd makes the same three-way choice internally).
+    """
+    from .fse import normalize_counts, write_ncount
+
+    syms = np.asarray([c for c, _ in codes], np.int64)
+    n = len(syms)
+    counts = np.bincount(syms)
+    present = np.flatnonzero(counts)
+    if len(present) == 1:
+        return 1, bytes([int(present[0])]), lambda: _RleEncoder()
+
+    dn = np.asarray(default_norm, np.int64)
+    max_sym = int(syms.max())
+    cost_pre = None
+    if max_sym < len(dn):
+        p = np.maximum(dn, 1) / (1 << default_log)
+        cost_pre = float(np.sum(counts * -np.log2(p[: len(counts)])))
+
+    tl = max(5, int(np.ceil(np.log2(len(present)))),
+             (n - 1).bit_length() - 2)
+    tl = min(max_log, tl)
+    while (1 << tl) < len(present):
+        tl += 1
+    norm = normalize_counts(counts, tl, n)
+    header = write_ncount(norm, tl, max_sym)
+    pc = norm / (1 << tl)
+    nz = counts > 0
+    cost_cust = len(header) * 8 + float(
+        np.sum(counts[nz] * -np.log2(pc[nz])))
+
+    if cost_pre is not None and cost_pre <= cost_cust:
+        return 0, b"", lambda: FseEncoder(dn, default_log)
+    return 2, header, lambda: FseEncoder(norm, tl)
+
+
+def encode_sequences(seqs, mode: str = "auto") -> bytes:
     """seqs: list of (literal_length, offset_value, match_length) ->
-    sequences section bytes (predefined mode). offset_value = offset + 3
-    (no repeat-offset encoding — avoids the ll==0 special cases)."""
+    sequences section bytes. offset_value = offset + 3 (no repeat-offset
+    encoding — avoids the ll==0 special cases).
+
+    mode 'auto' picks Predefined / RLE / FSE_Compressed (custom NCount
+    tables) independently per channel; 'predefined' forces mode 0 on all
+    three (the round-sequences fast path)."""
     n = len(seqs)
     out = bytearray()
     if n < 128:
         out.append(n)
-    elif n < 0x7F00 + 255:
+    elif n < 0x7F00:
+        # byte0 in [128, 254]: n = ((byte0 - 128) << 8) + byte1 (RFC 8878);
+        # 255 is reserved as the three-byte-form prefix, so n >= 0x7F00
+        # must use the long form even though (n >> 8) + 128 still fits a byte
         out.append((n >> 8) + 128)
         out.append(n & 255)
     else:
         out += bytes([255, (n - 0x7F00) & 255, (n - 0x7F00) >> 8])
     if n == 0:
         return bytes(out)
-    out.append(0)  # all three symbols in Predefined_Mode
 
     lls = [s[0] for s in seqs]
     ofs = [s[1] for s in seqs]
@@ -95,9 +155,20 @@ def encode_sequences(seqs) -> bytes:
     mlc = [ml_code(v) for v in mls]
     ofc = [of_code(v) for v in ofs]
 
-    e_ll = FseEncoder(np.asarray(LL_DEFAULT), LL_LOG)
-    e_of = FseEncoder(np.asarray(OF_DEFAULT), OF_LOG)
-    e_ml = FseEncoder(np.asarray(ML_DEFAULT), ML_LOG)
+    if mode == "predefined":
+        out.append(0)
+        e_ll = FseEncoder(np.asarray(LL_DEFAULT), LL_LOG)
+        e_of = FseEncoder(np.asarray(OF_DEFAULT), OF_LOG)
+        e_ml = FseEncoder(np.asarray(ML_DEFAULT), ML_LOG)
+    else:
+        ll_m, ll_h, ll_f = _channel_plan(llc, LL_DEFAULT, LL_LOG, 9)
+        of_m, of_h, of_f = _channel_plan(
+            [(c, nb) for c, _, nb in ofc], OF_DEFAULT, OF_LOG, 8)
+        ml_m, ml_h, ml_f = _channel_plan(mlc, ML_DEFAULT, ML_LOG, 9)
+        out.append((ll_m << 6) | (of_m << 4) | (ml_m << 2))
+        # FSE table descriptions follow in LL, OF, ML order (RFC 8878)
+        out += ll_h + of_h + ml_h
+        e_ll, e_of, e_ml = ll_f(), of_f(), ml_f()
     bw = BitWriter()
     last = n - 1
     e_ml.init_state(mlc[last][0])

@@ -96,10 +96,13 @@ def encode_block(data: np.ndarray, last: bool) -> bytes:
     if lit is not None:
         candidates.append(lit + b"\x00")  # literals-only, 0 sequences
 
+    from .match import greedy_parse
     from .sequences import encode_sequences, find_run_sequences
 
-    rs = find_run_sequences(data)
-    if rs is not None:
+    for finder in (find_run_sequences, greedy_parse):
+        rs = finder(data)
+        if rs is None:
+            continue
         seqs, lits = rs
         lsec = compress_literals(lits)
         if lsec is None:
@@ -138,11 +141,16 @@ def _huffman_block_sections(data, counts):
     return codes, lens, tree
 
 
-def encode_frame_device(data, interpret: bool = False) -> bytes:
+def encode_frame_device(data, interpret: bool = False,
+                        sidecar: bool = True) -> bytes:
     """Same frames as encode_frame_host, but full 128 KiB blocks run their
     histogram + all four Huffman bitstreams on the TPU; the host only builds
     tables/tree descriptions and assembles sections. The partial tail block
-    uses the host path."""
+    uses the host path.
+
+    sidecar=True appends the decode-anchor skippable frame
+    (entropy/sidecar.py) so the payload decompresses on device too; host
+    decoders (libzstd, the C++ reference) skip it."""
     import jax.numpy as jnp
 
     from .huff_pallas import encode_streams_device, histogram_device
@@ -159,6 +167,7 @@ def encode_frame_device(data, interpret: bool = False) -> bytes:
         return bytes(out)
     nfull = n // BLOCK_MAX
     blocks = []
+    sc_entries = []
     if nfull:
         full = data[: nfull * BLOCK_MAX].reshape(nfull, BLOCK_MAX)
         hist = np.asarray(histogram_device(jnp.asarray(full), interpret))
@@ -187,10 +196,12 @@ def encode_frame_device(data, interpret: bool = False) -> bytes:
                                                     << 11)
         streams = full.reshape(nfull * 4, BLOCK_MAX // 4)
         slut = np.repeat(luts, 4, axis=0)
-        words, sizes = encode_streams_device(
-            jnp.asarray(streams), jnp.asarray(slut), interpret)
+        words, sizes, anchors = encode_streams_device(
+            jnp.asarray(streams), jnp.asarray(slut), interpret,
+            with_anchors=True)
         words = np.ascontiguousarray(np.asarray(words))
         sizes = np.asarray(sizes)
+        anchors = np.asarray(anchors)
         wbytes = words.view("<u1").reshape(nfull * 4, -1)
         for b in range(nfull):
             chunk = full[b]
@@ -198,27 +209,36 @@ def encode_frame_device(data, interpret: bool = False) -> bytes:
             m = metas[b]
             if m is None:
                 blocks.append(encode_block(chunk, last))
+                sc_entries.append(None)
                 continue
             _, _, tree = m
             enc = [bytes(wbytes[4 * b + j][: sizes[4 * b + j]])
                    for j in range(4)]
             if any(len(e) > 0xFFFF for e in enc[:3]):
                 blocks.append(encode_block(chunk, last))
+                sc_entries.append(None)
                 continue
             jump = b"".join(len(e).to_bytes(2, "little") for e in enc[:3])
             payload = tree + jump + b"".join(enc)
             csize = len(payload)
             if csize + 6 >= BLOCK_MAX:
                 blocks.append(encode_block(chunk, last))
+                sc_entries.append(None)
                 continue
             hdr = 2 | (3 << 2) | (BLOCK_MAX << 4) | (csize << 22)
             content = hdr.to_bytes(5, "little") + payload + b"\x00"
             bh = int(last) | (2 << 1) | (len(content) << 3)
             blocks.append(bh.to_bytes(3, "little") + content)
+            sc_entries.append((lens_all[b], anchors[4 * b : 4 * b + 4]))
     if n > nfull * BLOCK_MAX:
         blocks.append(encode_block(data[nfull * BLOCK_MAX :], True))
+        sc_entries.append(None)
     for blk in blocks:
         out += blk
+    if sidecar and any(e is not None for e in sc_entries):
+        from .sidecar import pack_sidecar
+
+        out += pack_sidecar(sc_entries)
     return bytes(out)
 
 

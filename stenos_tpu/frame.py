@@ -40,6 +40,16 @@ class StenosError(Exception):
         super().__init__(f"stenos error {code}")
 
 
+def strong_debug() -> bool:
+    """STENOS_STRONG_DEBUG analog (block_compress.h:28,1077-1097): when the
+    env flag is set, every superblock encode is decode-verified against its
+    input before being emitted, and the container round-trips every chunk
+    compression (cvector.hpp:1396-1407)."""
+    import os
+
+    return os.environ.get("STENOS_STRONG_DEBUG", "") not in ("", "0")
+
+
 def _superblock_params(bpp, nbytes, level, custom_shift=None):
     """Superblock size + frame shift byte (stenos.cpp:115-169)."""
     block_size = bpp * 256
@@ -75,13 +85,27 @@ def _guess_transposed_lz_ratio(shuffled, bpp, nbytes, glevel, use_delta):
     return (processed / csize) * (1.0 + glevel * 0.02)
 
 
+def _verify_superblock(method, payload, chunk, bpp, engine):
+    """Decode-and-compare one just-encoded superblock (the
+    STENOS_STRONG_DEBUG contract, block_compress.h:1077-1097 — lifted to
+    the frame layer so every method path is covered)."""
+    back = decompress_superblock(
+        method, np.frombuffer(bytes(payload), np.uint8), bpp, len(chunk),
+        engine)
+    if bytes(memoryview(np.asarray(back))) != chunk.tobytes():
+        raise AssertionError(
+            "STENOS_STRONG_DEBUG: superblock round-trip mismatch "
+            f"(method {method})")
+
+
 def _entropy_compress(src_bytes, cap: int, zl: int, entropy):
     """Entropy stage dispatch: libzstd (byte-parity with the reference) or
     the TPU entropy coder (standard zstd output, huffman-literals)."""
     if entropy == "device":
         from .entropy import zstd_frame
 
-        f = zstd_frame.encode_frame_device(src_bytes)
+        f = zstd_frame.encode_frame_device(src_bytes,
+                                           interpret=_engine_interpret())
         if len(f) > cap:
             return "overflow"
         return f
@@ -104,6 +128,8 @@ def compress_superblock(chunk: np.ndarray, bpp: int, level: int,
     def emit(method, payload):
         if 4 + len(payload) > dst_size:
             raise StenosError(ERROR_DST_OVERFLOW)
+        if strong_debug():
+            _verify_superblock(method, payload, chunk, bpp, engine)
         return bytes([method]) + len(payload).to_bytes(3, "little") + payload
 
     def do_memcpy():
@@ -193,9 +219,15 @@ def _encode_blocks(chunk, bpp, budget, target_ratio, engine, precomputed=None,
 
 
 def compress_superblock_timed(ctx, chunk: np.ndarray, bpp: int,
-                              dst_size: int, engine=None) -> bytes:
+                              dst_size: int, engine=None, precomputed=None,
+                              blevel_override=None) -> bytes:
     """Time-limited superblock compression (stenos.cpp:463-679 with the
-    chunk-granular controller from context.py)."""
+    chunk-granular controller from context.py).
+
+    precomputed/blevel_override: the batched-round path (one device
+    dispatch per ROUND of superblocks) hands each chunk its precomputed
+    block stream and the round's block level so decisions stay consistent
+    with what the batch kernel already encoded."""
     from .context import clevel_for_remaining, find_block_level
 
     t = ctx.t
@@ -206,6 +238,8 @@ def compress_superblock_timed(ctx, chunk: np.ndarray, bpp: int,
     def emit(method, payload):
         if 4 + len(payload) > dst_size:
             raise StenosError(ERROR_DST_OVERFLOW)
+        if strong_debug():
+            _verify_superblock(method, payload, chunk, bpp, engine)
         return bytes([method]) + len(payload).to_bytes(3, "little") + payload
 
     def do_memcpy():
@@ -242,7 +276,8 @@ def compress_superblock_timed(ctx, chunk: np.ndarray, bpp: int,
     else:
         glevel = 2
 
-    blevel = find_block_level(t, 0)
+    blevel = find_block_level(t, 0) if blevel_override is None \
+        else blevel_override
     if blevel == -2:
         t.finish_memcpy = True
         return do_memcpy()
@@ -255,7 +290,7 @@ def compress_superblock_timed(ctx, chunk: np.ndarray, bpp: int,
 
     if target_speed > 1.5e9 and bpp > 1:
         r = _encode_blocks(chunk, bpp, dst_size - 4, None, engine,
-                           block_level=blevel)
+                           precomputed=precomputed, block_level=blevel)
         if isinstance(r, int) or len(r) > sbytes:
             return do_memcpy()
         return emit(METHOD_BLOCK, r)
@@ -282,7 +317,7 @@ def compress_superblock_timed(ctx, chunk: np.ndarray, bpp: int,
 
     tick = t.elapsed()
     cblock = _encode_blocks(chunk, bpp, sbytes, lz_ratio, engine,
-                            block_level=blevel)
+                            precomputed=precomputed, block_level=blevel)
     if isinstance(cblock, int) or len(cblock) > sbytes:
         if lz_ratio > 1.40:
             if lz_ratio == lz_transposed:
@@ -338,6 +373,10 @@ def compress_generic(ctx, data, bytesoftype: int, dst_size=None) -> bytes:
         return header
     out = [header]
     pos = len(header)
+    engine = ctx.engine
+    if engine is not None and hasattr(engine, "encode_batch"):
+        return b"".join(_timed_rounds(ctx, data, bytesoftype, dst_size, sb,
+                                      out, pos))
     for off in range(0, nbytes, sb):
         chunk = data[off : off + sb]
         blob = compress_superblock_timed(ctx, chunk, bytesoftype,
@@ -346,6 +385,70 @@ def compress_generic(ctx, data, bytesoftype: int, dst_size=None) -> bytes:
         out.append(blob)
         pos += len(blob)
     return b"".join(out)
+
+
+def _timed_rounds(ctx, data, bpp: int, dst_size: int, sb: int, out, pos):
+    """Batch-granular time-limited compression with a device engine: ONE
+    device dispatch per ROUND of superblocks (a ~27 ms dispatch per chunk
+    would eat the budget), controller fed by measured round rates. The TPU
+    translation of the reference's thread-pool rounds (stenos.cpp:936-965)
+    with TimeConstraint semantics at round granularity."""
+    import time as _time
+
+    from .context import find_block_level
+
+    t = ctx.t
+    engine = ctx.engine
+    nbytes = len(data)
+    n_full = nbytes // sb
+    i = 0
+    R = 1            # calibration round, then rate-sized
+    rate = None      # EMA bytes/sec through the full pipeline
+    while i < n_full:
+        blevel = find_block_level(t, 0)
+        R = max(1, min(R, n_full - i))
+        t0 = _time.perf_counter()
+        if blevel < 0 or t.finish_memcpy:
+            if blevel == -2:
+                t.finish_memcpy = True
+            # memcpy rounds: emit COPY records directly (no device work)
+            for j in range(i, i + R):
+                chunk = data[j * sb : (j + 1) * sb]
+                if dst_size - pos < len(chunk) + 4:
+                    raise StenosError(ERROR_DST_OVERFLOW)
+                out.append(bytes([METHOD_COPY])
+                           + len(chunk).to_bytes(3, "little")
+                           + chunk.tobytes())
+                pos += 4 + len(chunk)
+                t.processed_bytes += len(chunk)
+        else:
+            batch = data[i * sb : (i + R) * sb]
+            pre = engine.encode_batch(batch, bpp, sb, block_level=blevel)
+            for j in range(R):
+                chunk = batch[j * sb : (j + 1) * sb]
+                blob = compress_superblock_timed(
+                    ctx, chunk, bpp, dst_size - pos, engine,
+                    precomputed=None if pre is None else pre[j],
+                    blevel_override=blevel)
+                t.processed_bytes += len(chunk)
+                out.append(blob)
+                pos += len(blob)
+        dt = max(_time.perf_counter() - t0, 1e-6)
+        r_rate = (R * sb) / dt
+        rate = r_rate if rate is None else 0.5 * rate + 0.5 * r_rate
+        i += R
+        # next round sized to ~25% of the remaining budget at the measured
+        # rate: overshoot past the deadline is bounded by one round
+        rem_t = max((t.nanoseconds - t.elapsed()) * 1e-9, 0.0)
+        R = max(1, min(64, int(rate * rem_t * 0.25 / sb)))
+    if nbytes > n_full * sb:
+        chunk = data[n_full * sb :]
+        blob = compress_superblock_timed(ctx, chunk, bpp, dst_size - pos,
+                                         engine)
+        t.processed_bytes += len(chunk)
+        out.append(blob)
+        pos += len(blob)
+    return out
 
 
 def compress(data, bytesoftype: int, level: int = 1, dst_size=None,
@@ -431,6 +534,33 @@ def _host_block_decode(payload, bpp, dsize):
     return block_codec_decode(payload, bpp, dsize)
 
 
+def _entropy_decompress(payload, dsize, engine):
+    """zstd payload -> bytes array: the device huffman decode kernel when
+    the payload carries the anchor sidecar and an engine is active
+    (entropy/device_decode.py), host libzstd otherwise — the decompress
+    dispatch ladder of stenos.cpp:681-753."""
+    if engine is not None:
+        try:
+            from .entropy.device_decode import decode_payload_device
+
+            r = decode_payload_device(payload, dsize,
+                                      interpret=_engine_interpret())
+            if r is not None:
+                return np.asarray(r)
+        except Exception:
+            pass
+    r = zstd_host.decompress(payload, dsize)
+    if r is None:
+        return None
+    return np.frombuffer(r, np.uint8)
+
+
+def _engine_interpret() -> bool:
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
 def decompress_superblock(code, payload, bpp, dsize, engine=None):
     """decompress_generic_superblock (stenos.cpp:681-753)."""
     if code == METHOD_BLOCK:
@@ -440,20 +570,20 @@ def decompress_superblock(code, payload, bpp, dsize, engine=None):
             raise StenosError(ERROR_INVALID_INPUT)
         return r
     if code == METHOD_ZSTD:
-        r = zstd_host.decompress(payload, dsize)
+        r = _entropy_decompress(payload, dsize, engine)
         if r is None:
             raise StenosError(ERROR_INVALID_INPUT)
-        return np.frombuffer(r, np.uint8)
+        return r
     if code == METHOD_TRANSPOSED_ZSTD:
-        r = zstd_host.decompress(payload, dsize)
+        r = _entropy_decompress(payload, dsize, engine)
         if r is None or len(r) != dsize:
             raise StenosError(ERROR_INVALID_INPUT)
-        return unshuffle_np(np.frombuffer(r, np.uint8), bpp)
+        return unshuffle_np(np.asarray(r), bpp)
     if code == METHOD_TRANSPOSED_DELTA_ZSTD:
-        r = zstd_host.decompress(payload, dsize)
+        r = _entropy_decompress(payload, dsize, engine)
         if r is None or len(r) != dsize:
             raise StenosError(ERROR_INVALID_INPUT)
-        return unshuffle_np(delta_inv_np(np.frombuffer(r, np.uint8)), bpp)
+        return unshuffle_np(delta_inv_np(np.asarray(r)), bpp)
     if code == METHOD_BLOCK_ZSTD:
         r = zstd_host.decompress(payload, MAX_BLOCK_BYTES)
         if r is None:

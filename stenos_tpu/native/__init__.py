@@ -58,7 +58,8 @@ class _Native:
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
             ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
 
     def lz4_guess_size(self, data, accel: int) -> int:
         data = bytes(data)
@@ -155,9 +156,14 @@ class _Native:
 
         frame: whole frame bytes; offs/csizes: per-superblock payload spans.
         Returns (vbufs (n,row_bytes) u8, plane_off (n,P) i32,
-        rowtab (n,16,P) i32 packed rel|hdr<<10|min<<14) or a negative error.
+        rowtab (n,16,P) i32 packed rel|hdr<<10|min<<14,
+        vlens (n,) i64 per-superblock VIRTUAL lengths) or a negative error.
+        vlens can exceed csize: LZ/COPY blocks are inlined expanded — always
+        bound the virtual stream by vlens, never by csize.
         bufs: optional preallocated (vbufs, plane_off, rowtab) to write into
         (page-warm reuse — fresh allocations fault ~40 MB/call on this host).
+        If row_bytes is too small for the expanded stream and bufs is not
+        pinned, retries once at the worst-case bound (csize + sb per record).
         """
         import numpy as np
 
@@ -172,15 +178,22 @@ class _Native:
             rowtab = np.empty((n_sb, 16, P), np.int32)
         offs = np.ascontiguousarray(offs, np.int64)
         csizes = np.ascontiguousarray(csizes, np.int64)
+        vlens = np.zeros(n_sb, np.int64)
         scratch = np.empty(512 * bpp + 16, np.uint8)
         as_p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
         r = self._lib.stn_parse_rows_batch(
             frame, len(frame), bpp, sb, n_sb, as_p(offs), as_p(csizes),
             row_bytes, as_p(vbufs), as_p(plane_off), as_p(rowtab),
-            as_p(scratch))
+            as_p(vlens), as_p(scratch))
+        if r == -4 and row_bytes < int(csizes.max()) + sb:  # ERR_INPUT
+            # LZ inlining expanded past row_bytes: retry at the hard bound
+            # (each block inflates by at most 256*bpp over its stream bytes)
+            wide = int(csizes.max()) + sb + 16
+            return self.parse_rows_batch(frame, bpp, sb, list(offs),
+                                         list(csizes), wide)
         if r < 0:
             return int(r)
-        return vbufs, plane_off, rowtab
+        return vbufs, plane_off, rowtab, vlens
 
     def huff_lengths(self, counts, max_bits: int = 11):
         """counts (n, 256) int64 -> length-limited Huffman lengths (n, 256)."""

@@ -1125,7 +1125,7 @@ EXPORT ptrdiff_t stn_parse_rows_batch(
     const uint8_t* frame, size_t frame_size, size_t bpp, size_t sb,
     size_t n_sb, const int64_t* offs, const int64_t* csizes,
     size_t row_bytes, uint8_t* vbufs, int32_t* plane_off, int32_t* rowtab,
-    uint8_t* scratch /* >= 512*bpp */) {
+    int64_t* vlens, uint8_t* scratch /* >= 512*bpp */) {
     const size_t hdr_w = (bpp + 1) / 2;
     const size_t block_size = 256 * bpp;
     const size_t nb = sb / block_size;
@@ -1165,7 +1165,10 @@ EXPORT ptrdiff_t stn_parse_rows_batch(
                 for (size_t p = 0; p < bpp; ++p) {
                     uint8_t* dst = vb + vpos + p * 256;
                     for (size_t e = 0; e < 256; ++e) dst[e] = dec[e * bpp + p];
-                    bpo[p] = (int32_t)(vpos + p * 256);
+                    // inlined planes are raw 256-byte payloads: plane code 1
+                    // (ALL_RAW) packed in bits 24-25 for the derive-index
+                    // decode kernel; offsets stay in the low 24 bits
+                    bpo[p] = (int32_t)(vpos + p * 256) | (1 << 24);
                     for (int r = 0; r < 16; ++r)
                         rt[(size_t)r * P + b * bpp + p] =
                             (int32_t)(r * 16) | (15 << 10);
@@ -1180,7 +1183,7 @@ EXPORT ptrdiff_t stn_parse_rows_batch(
             for (size_t p = 0; p < bpp; ++p) {
                 const int code = (codes[p >> 1] >> (4 * (p & 1))) & 15;
                 const size_t pg = b * bpp + p;
-                bpo[p] = (int32_t)(pos + vdelta);
+                bpo[p] = (int32_t)(pos + vdelta) | ((int32_t)code << 24);
                 int32_t* prt = rt + pg;
                 if (code == 0) {  // ALL_SAME
                     if (pos >= n) return ERR_SRC;
@@ -1209,6 +1212,10 @@ EXPORT ptrdiff_t stn_parse_rows_batch(
         std::memcpy(vb + vpos, src + seg, keep);
         vpos += keep;
         std::memset(vb + vpos, 0, row_bytes - vpos);
+        // virtual length can EXCEED csize when LZ/COPY blocks (markers
+        // 252/253) were inlined as full 256*bpp planes; consumers must use
+        // this, not csize, to bound the virtual stream
+        vlens[i] = (int64_t)vpos;
     }
     return 0;
 }

@@ -2,9 +2,21 @@
 
 Counterpart of encode_pallas.py for method-BLOCK payloads
 (block_decompress_sse, block_compress.h:2088-2175 — redesigned, not
-translated). The host C++ parser (stn_parse_rows*) walks only the header
-bytes and emits, per plane, a start offset and 16 packed row records
-(rel | hdr<<10 | min<<14); every byte-moving stage then runs on the TPU:
+translated). Two index modes feed the same byte-moving stages:
+
+  explicit  — the host C++ parser (stn_parse_rows*) walks the header bytes
+              and emits, per plane, a start offset and 16 packed row
+              records (rel | hdr<<10 | min<<14).
+  derive    — the kernel receives ONLY plane offsets (with the 2-bit plane
+              code packed in bits 24-25) and derives the row records from
+              the stream's own header bytes in VMEM: header nibbles from
+              the first 8 window bytes, mins from the (plain or
+              RLE-decoded) mins section, row offsets by a 16-step chain
+              with dynamic mask reads for RLE rows. This shrinks a
+              container's random-access index from 3 B per (row, plane)
+              record (18.75% of raw) to plane offsets only (1.6%).
+
+Stages (all bpp, 1..16):
 
   1. plane-window fetch: each plane's payload (<= 314 B) is gathered as four
      128-byte rows via a one-hot bf16 matmul on the MXU (exact for bytes)
@@ -16,10 +28,12 @@ bytes and emits, per plane, a start offset and 16 packed row records
   3. dense reconstruction: bit-unpack / RLE fill-left / delta prefix-sums as
      pure VPU math, the cross-row carry as a 16-step affine chain.
   4. regroup: planes -> LE32 words of the natural byte order (free shifts),
-     one int32 transpose back.
+     one int32 transpose back. plane_order 'bj' = stream order
+     (p = block*bpp + plane, the host parser contract); 'jb' = encoder
+     order (p = plane*nb + block, what encode_slabs_index emits natively —
+     avoids minor-dim XLA transposes between the kernels).
 
-Supports bpp % 4 == 0 and bpp == 2 (word regroup); other widths use the
-host/XLA paths. Bit-exactness enforced by tests/test_decode_pallas.py.
+Bit-exactness enforced by tests/test_decode_pallas.py.
 """
 
 from functools import lru_cache
@@ -71,21 +85,119 @@ def _pack_maps(b):
     return _PACK_MAPS[b]
 
 
-def make_decode_kernel(bpp: int, nb: int, R: int):
+def _roll_rows(v, k):
+    """Shift rows DOWN by k along axis 0 with zero fill (row i <- row i-k)."""
+    rolled = pltpu.roll(v, k, axis=0)
+    return jnp.where(_iota(v.shape, 0) < k, 0, rolled)
+
+
+def _cumsum_rows(v):
+    """Inclusive prefix sum along axis 0 (log-step rolls; n rows)."""
+    n = v.shape[0]
+    k = 1
+    while k < n:
+        v = v + _roll_rows(v, k)
+        k <<= 1
+    return v
+
+
+def _fill_left_rows(values, have):
+    """Propagate the nearest HAVE value upward-to-downward along axis 0
+    (row r takes the closest row <= r with have=1; zero seed)."""
+    v = values
+    hv = have
+    k = 1
+    while k < values.shape[0]:
+        pv = _roll_rows(v, k)
+        ph = _roll_rows(hv, k)
+        v = jnp.where(hv == 1, v, jnp.where(ph == 1, pv, v))
+        hv = hv | ph
+        k <<= 1
+    return v, hv
+
+
+def _popcount16(m):
+    m = (m & 0x5555) + ((m >> 1) & 0x5555)
+    m = (m & 0x3333) + ((m >> 2) & 0x3333)
+    m = (m & 0x0F0F) + ((m >> 4) & 0x0F0F)
+    return (m & 0x00FF) + ((m >> 8) & 0x00FF)
+
+
+def make_decode_kernel(bpp: int, nb: int, R: int, derive: bool = False,
+                       plane_order: str = "bj"):
     """Kernel body. P = nb*bpp planes; vbuf is (R, 128) payload rows."""
     P = nb * bpp
     Sw = 64 * bpp  # output words per block
     EXP_W = WPLANE + 16 * WROW  # 896
 
-    import os as _os
-    _stage = int(_os.environ.get("STENOS_DEC_STAGE", "9"))
+    def derive_records(wt, code):
+        """Row records from the stream's own bytes (parse_plane_rows_packed
+        semantics, stenos_native.cpp:1071-1112). wt: (WPLANE, P) window
+        transposed; code: (1, P) plane code 0..3.
+        Returns (rel, hdr, minv), each (16, P)."""
+        rows16 = _iota((16, P), 0)
+        # header nibbles from window bytes 0..7 (NORMAL planes)
+        hb = wt[0:8]                      # (8, P)
+        h_nib = jnp.stack([hb & 15, (hb >> 4) & 15], axis=1).reshape(16, P)
+        hdr = jnp.where(code == 0, 0, jnp.where(code == 1, 15, h_nib))
 
-    def kernel(vb_ref, po_ref, rt_ref, out_ref):
-        po = po_ref[0]        # (1, P) virtual byte offsets
-        rt = rt_ref[0]        # (16, P) packed rel | hdr<<10 | min<<14
-        rel = rt & 1023
-        hdr = (rt >> 10) & 15
-        minv = (rt >> 14) & 255
+        # ---- mins section ------------------------------------------------
+        el = (h_nib != 6) & (h_nib != 7) & (h_nib != 15)
+        eli = el.astype(jnp.int32)
+        el_excl = _cumsum_rows(eli) - eli  # #eligible before row r
+        n_el = jnp.sum(eli, axis=0, keepdims=True)  # (1, P)
+        ms_plain = wt[8:24]               # (16, P) plain mins candidates
+        mins_plain = jnp.zeros((16, P), jnp.int32)
+        for k in range(16):
+            mins_plain = jnp.where(el & (el_excl == k), ms_plain[k : k + 1],
+                                   mins_plain)
+        # RLE-coded mins (code 3): 2-byte mask at 8, literals follow;
+        # bit r set -> copy previous (seed 0), else next literal
+        mmask = wt[8:9] | (wt[9:10] << 8)          # (1, P)
+        mbit = (mmask >> rows16) & 1               # (16, P)
+        is_lit = mbit == 0
+        liti = is_lit.astype(jnp.int32)
+        lit_excl = _cumsum_rows(liti) - liti
+        n_lit = jnp.sum(liti, axis=0, keepdims=True)
+        lits = wt[10:26]                           # (16, P)
+        placed = jnp.zeros((16, P), jnp.int32)
+        for k in range(16):
+            placed = jnp.where(is_lit & (lit_excl == k), lits[k : k + 1],
+                               placed)
+        mins_rle, _ = _fill_left_rows(placed, liti)
+        mins_n = jnp.where(code == 3, mins_rle, mins_plain)
+        minv = jnp.where(code == 0, wt[0:1],       # ALL_SAME: payload byte
+                         jnp.where(code == 1, 0, mins_n))
+
+        # ---- rel chain ---------------------------------------------------
+        base = jnp.where(code == 3, 10 + n_lit, 8 + n_el)  # (1, P)
+        # static per-header sizes; RLE rows (6/7) resolved by mask reads
+        lut = jnp.where(h_nib == 15, 16,
+                        jnp.where(h_nib >= 8, 2 * (h_nib - 8), 2 * h_nib))
+        is_rle_row = (h_nib == 6) | (h_nib == 7)
+        sub = _iota((WPLANE, P), 0)
+        rel_rows = []
+        rel = base
+        for r in range(16):
+            rel_rows.append(rel)
+            # dynamic 2-byte read at rel (the RLE mask); uniform lane work
+            m0 = sub == rel
+            m1 = sub == rel + 1
+            b0 = jnp.sum(jnp.where(m0, wt, 0), axis=0, keepdims=True)
+            b1 = jnp.sum(jnp.where(m1, wt, 0), axis=0, keepdims=True)
+            rmask = b0 | (b1 << 8)
+            rle_sz = 2 + 16 - _popcount16(rmask)
+            sz = jnp.where(is_rle_row[r : r + 1], rle_sz, lut[r : r + 1])
+            rel = rel + sz
+        rel_n = jnp.concatenate(rel_rows, axis=0)  # (16, P)
+        rel = jnp.where(code == 0, 1,
+                        jnp.where(code == 1, rows16 * 16, rel_n))
+        return rel, hdr, minv
+
+    def kernel(vb_ref, po_ref, *refs):
+        out_ref = refs[-1]
+        po_packed = po_ref[0]  # (1, P) offsets (derive: | code << 24)
+        po = po_packed & 0xFFFFFF
 
         # ---- 1. plane windows: MXU one-hot row gather + lane rotate ------
         poc = po.T  # (P, 1)
@@ -106,11 +218,19 @@ def make_decode_kernel(bpp: int, nb: int, R: int):
             rolled = pltpu.roll(win, WPLANE - bit, axis=1)
             win = jnp.where((rot & bit) != 0, rolled, win)
 
-        if _stage <= 1:
-            out_ref[0] = jnp.full((nb, Sw), jnp.sum(win), jnp.int32)
-            return
-        # ---- 2. row expansion: (P, 512) -> 16 x 24-byte slots ------------
         wt = win.T  # (WPLANE, P)
+
+        # ---- row records: derived in-kernel or from the parser's rowtab --
+        if derive:
+            code = (po_packed >> 24) & 3  # (1, P)
+            rel, hdr, minv = derive_records(wt, code)
+        else:
+            rt = refs[0][0]   # (16, P) packed rel | hdr<<10 | min<<14
+            rel = rt & 1023
+            hdr = (rt >> 10) & 15
+            minv = (rt >> 14) & 255
+
+        # ---- 2. row expansion: (P, 512) -> 16 x 24-byte slots ------------
         j = _iota((WPLANE, P), 0)
         owner = jnp.full((WPLANE, P), -1, jnp.int32)
         start_of = jnp.zeros((WPLANE, P), jnp.int32)
@@ -141,9 +261,6 @@ def make_decode_kernel(bpp: int, nb: int, R: int):
             w = jnp.where(arrive, moved - (step << 8),
                           jnp.where(stay, w, 0))
         W3 = (w[DOFF : DOFF + 16 * WROW] & 255).reshape(16, WROW, P)
-        if _stage <= 2:
-            out_ref[0] = jnp.full((nb, Sw), jnp.sum(W3), jnp.int32)
-            return
 
         # ---- 3. dense reconstruction (mirrors engine_jax._decode_rows_body)
         h = hdr[:, None, :]  # (16, 1, P) per-row header
@@ -175,11 +292,6 @@ def make_decode_kernel(bpp: int, nb: int, R: int):
                 cols.append(v[:, None, :])
             vals = jnp.where(bwidth == b, jnp.concatenate(cols, axis=1), vals)
 
-        if _stage <= 3:
-            out_ref[0] = jnp.full((nb, Sw),
-                                  jnp.sum(vals) + jnp.sum(rle_vals),
-                                  jnp.int32)
-            return
         direct_a = (vals + mins) & 255
         delta_a = _cumsum_mid(vals + mins) & 255
         drle_a = _cumsum_mid(rle_vals) & 255
@@ -210,8 +322,12 @@ def make_decode_kernel(bpp: int, nb: int, R: int):
         # lane dim pads 32x and blew scoped VMEM); bpp only ever appears as
         # a sublane-adjacent axis (pads to 8 at worst).
         flat = planes.reshape(256, P).T          # (P, 256)
-        p3 = flat.reshape(nb, bpp, 256)
-        pb = jnp.transpose(p3, (1, 0, 2))        # (bpp, nb, 256)
+        if plane_order == "jb":
+            # encoder-native ordering p = plane*nb + block: no transpose
+            pb = flat.reshape(bpp, nb, 256)
+        else:
+            p3 = flat.reshape(nb, bpp, 256)
+            pb = jnp.transpose(p3, (1, 0, 2))    # (bpp, nb, 256)
         pc = jnp.transpose(pb, (0, 2, 1))        # (bpp, 256, nb)
         nat = jnp.transpose(pc, (1, 0, 2))       # (256, bpp, nb)
         x_nat = nat.reshape(256 * bpp, nb)       # natural bytes (s, b)
@@ -275,21 +391,24 @@ def _lg(k):
 
 
 @lru_cache(maxsize=64)
-def _build_call(n_sb: int, bpp: int, nb: int, R: int, interpret: bool):
-    kernel = make_decode_kernel(bpp, nb, R)
+def _build_call(n_sb: int, bpp: int, nb: int, R: int, interpret: bool,
+                derive: bool = False, plane_order: str = "bj"):
+    kernel = make_decode_kernel(bpp, nb, R, derive, plane_order)
     P = nb * bpp
     Sw = 64 * bpp
+    in_specs = [
+        pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if not derive:
+        in_specs.append(pl.BlockSpec((1, 16, P), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kernel,
         grid=(n_sb,),
-        in_specs=[
-            pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16, P), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, nb, Sw), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_sb, nb, Sw), jnp.int32),
@@ -319,4 +438,28 @@ def decode_slabs_body(vbufs, plane_off, rowtab, bpp: int, nb: int,
         vbufs.reshape(n_sb, R, 128),
         plane_off.reshape(n_sb, 1, nb * bpp),
         rowtab,
+    )
+
+
+@partial(jax.jit, static_argnames=("bpp", "nb", "plane_order", "interpret"))
+def decode_slabs_derive_jit(vbufs, plane_off, bpp: int, nb: int,
+                            plane_order: str = "bj",
+                            interpret: bool = False):
+    return decode_slabs_derive_body(vbufs, plane_off, bpp, nb, plane_order,
+                                    interpret)
+
+
+def decode_slabs_derive_body(vbufs, plane_off, bpp: int, nb: int,
+                             plane_order: str = "bj",
+                             interpret: bool = False):
+    """Derive-index decode: plane_off (n_sb, P) i32 packed off | code<<24;
+    the kernel reconstructs the row records from the stream bytes — no
+    rowtab sidecar. plane_order: 'bj' (host parser / stream order) or 'jb'
+    (encoder order, p = plane*nb + block)."""
+    n_sb = vbufs.shape[0]
+    R = vbufs.shape[1] // 128
+    call = _build_call(n_sb, bpp, nb, R, interpret, True, plane_order)
+    return call(
+        vbufs.reshape(n_sb, R, 128),
+        plane_off.reshape(n_sb, 1, nb * bpp),
     )

@@ -220,18 +220,6 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
         xpm = x_nat.reshape(256, bpp, n).transpose(1, 0, 2)
         return xpm.reshape(S, n)
 
-    import os as _os
-    _stage = int(_os.environ.get("STENOS_ENC_STAGE", "5"))
-
-    def _dummy_out(out_ref, bsz_ref, fsz_ref, v):
-        if isinstance(v, (list, tuple)):
-            s = sum(jnp.sum(x) for x in v)
-        else:
-            s = jnp.sum(v)
-        out_ref[0] = jnp.full(out_ref.shape[1:], s & 255, jnp.uint8)
-        bsz_ref[0, 0, :] = jnp.full((nb,), s, jnp.int32)
-        fsz_ref[0, 0, :] = jnp.full((nb,), s, jnp.int32)
-
     def kernel(t_ref, out_ref, bsz_ref, fsz_ref, *extra):
         idx_refs = extra[:-1] if with_index else ()
         sp_ref = extra[-1]
@@ -239,9 +227,6 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
             X = build_X_from_words(t_ref[0])  # (S, nb)
         else:
             X = t_ref[0].astype(jnp.int32)  # (S, nb)
-        if _stage <= 1:
-            _dummy_out(out_ref, bsz_ref, fsz_ref, X)
-            return
         si = _iota((S, nb), 0)
         prev = pltpu.roll(X, 1, axis=0)
         prev = jnp.where(si % 256 == 0, 0, prev)
@@ -320,10 +305,6 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
                           jnp.where(raw, 1, jnp.where(normal_rle, 3, 2)))
         psizes = jnp.where(all_same, 1, jnp.where(raw, 256, plane_size))
         normal = (codes == 2) | (codes == 3)
-        if _stage <= 2:
-            _dummy_out(out_ref, bsz_ref, fsz_ref,
-                       [codes, psizes, h, minbytes, sizes4])
-            return
 
         # ---- emission values -------------------------------------------
         h4 = h.reshape(bpp * 8, 2, nb)
@@ -386,34 +367,19 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
                          jnp.where(normal_row, lenR, 0))
 
         if with_index:
-            # decode index emitted AT ENCODE TIME: plane offsets + packed
-            # row records, so device-resident round trips skip the host
-            # parser entirely (same contract as stn_parse_rows_batch).
+            # decode index emitted AT ENCODE TIME: plane offsets with the
+            # 2-bit plane code packed in bits 24-25 — everything else the
+            # decoder needs it derives from the stream's own header bytes
+            # (decode_pallas derive mode), so the random-access index costs
+            # 4 B per 256-byte plane (1.6%) instead of a rowtab sidecar.
             # Written BEFORE the S' assembly so analysis temps die early
             # (Mosaic scoped-VMEM packing).
-            po_ref, rt_ref = idx_refs[0], idx_refs[1]
+            po_ref = idx_refs[0]
             plane_len_i = lenA + lenB + _sum_mid(lenR.reshape(bpp, 16, nb))
             bsize_i = hdr_w + jnp.sum(plane_len_i, axis=0)
             pl_excl = _sub_cumsum(plane_len_i, bpp) - plane_len_i
             b_excl = _lane_cumsum(bsize_i[None, :], nb) - bsize_i[None, :]
-            po_ref[0] = 4 + b_excl + hdr_w + pl_excl
-            lenR3 = lenR.reshape(bpp, 16, nb)
-            relN = 8 + lenB[:, None, :] + (_cumsum_mid(lenR3) - lenR3)
-            r16 = _iota((bpp, 16, nb), 1) * 16
-            c3 = codes[:, None, :]
-            rel = jnp.where(c3 == 0, 1, jnp.where(c3 == 1, r16, relN))
-            h3 = h.reshape(bpp, 16, nb)
-            hdr3 = jnp.where(c3 == 0, 0, jnp.where(c3 == 1, 15, h3))
-            nomin = (h3 == 6) | (h3 == 7) | (h3 == 15)
-            minb3 = minbytes.reshape(bpp, 16, nb)
-            first3 = jnp.broadcast_to(first, (bpp, 16, nb))
-            mn3 = jnp.where(c3 == 0, first3,
-                            jnp.where((c3 == 1) | nomin, 0, minb3))
-            rt_ref[0] = (rel | (hdr3 << 10) | (mn3 << 14)).reshape(G, nb)
-        if _stage <= 3:
-            _dummy_out(out_ref, bsz_ref, fsz_ref,
-                       [rows18, lenR, minsec, headA])
-            return
+            po_ref[0] = (4 + b_excl + hdr_w + pl_excl) | (codes << 24)
 
         # ---- S' assembly: value | valid<<8 at static offsets ------------
         def packv(vals, lens):
@@ -449,9 +415,6 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
         hvals = jnp.where(_iota((4, nb), 0) == 3, (csize >> 16) & 255, hvals)
         lane0 = _iota((4, nb), 1) == 0
         sp_ref[0:4, :] = jnp.where(lane0, hvals | (1 << 8), 0)
-        if _stage <= 4:
-            _dummy_out(out_ref, bsz_ref, fsz_ref, sp_ref[0:64, :])
-            return
 
         # ---- per-block sizes (host LZ-patch / abort checks) -------------
         plane_len = lenA + lenB + _sum_mid(lenR.reshape(bpp, 16, nb))
@@ -475,9 +438,7 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
         flatpos = subl * V + lane
         shift = jnp.where(validb == 1, flatpos - prefix_excl, 0)
         w = jnp.where(validb == 1, val | (shift << 8) | (1 << 30), 0)
-        import os as _os
-        _cap = int(_os.environ.get("STENOS_ENC_SUBSTEPS", str(K)))
-        for k in range(min(K, _cap)):
+        for k in range(K):
             step = 1 << k
             moved = _flat_roll_left(w, step, V, nb)
             arrive = (moved != 0) & ((((moved >> 8) >> k) & 1) == 1)
@@ -517,17 +478,14 @@ def _build_call(n_sb: int, bpp: int, nb: int, block_level: int,
         out_specs += [
             pl.BlockSpec((1, bpp, nb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bpp * 16, nb), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
         ]
         out_shape += [
             jax.ShapeDtypeStruct((n_sb, bpp, nb), jnp.int32),
-            jax.ShapeDtypeStruct((n_sb, bpp * 16, nb), jnp.int32),
         ]
     params = {}
     if with_index:
         # the index outputs push Mosaic's conservative 16M scoped-vmem
-        # default by ~1.5M; the hardware has headroom
+        # default; the hardware has headroom
         params["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024)
     return pl.pallas_call(
@@ -576,13 +534,15 @@ encode_slabs_jit = partial(
 
 def encode_slabs_index_body(data, bpp: int, block_level: int,
                             interpret: bool = False):
-    """Like encode_slabs_body, but the kernel also emits the DECODE INDEX
-    (plane offsets + packed row records, the stn_parse_rows_batch contract),
-    so device-resident round trips need no host parsing at all:
-    rows feed ops/decode_pallas.decode_slabs_body directly as vbufs.
+    """Like encode_slabs_body, but the kernel also emits the DECODE INDEX:
+    plane offsets with the plane code packed in bits 24-25, in the
+    encoder-native 'jb' plane order (p = plane*nb + block — NO transposes),
+    so device-resident round trips need no host parsing at all: rows feed
+    ops/decode_pallas.decode_slabs_derive_body directly as vbufs with
+    plane_order='jb'.
 
-    Returns (rows, totals, bsizes, fsizes, plane_off (n_sb, P) i32,
-    rowtab (n_sb, 16, P) i32)."""
+    Returns (rows, totals, bsizes, fsizes,
+    plane_off (n_sb, P) i32 packed off | code<<24)."""
     n_sb, sbytes = data.shape
     block_size = 256 * bpp
     nb = sbytes // block_size
@@ -590,16 +550,13 @@ def encode_slabs_index_body(data, bpp: int, block_level: int,
         data.reshape(n_sb, nb, 64 * bpp, 4), jnp.int32)
     call, V = _build_call(n_sb, bpp, nb, block_level, interpret, "words",
                           True)
-    out, bsizes, fsizes, po_raw, rt_raw = call(words)
+    out, bsizes, fsizes, po_raw = call(words)
     bsizes = bsizes[:, 0, :]
     fsizes = fsizes[:, 0, :]
     rows = out.reshape(n_sb, nb * V)
     totals = 4 + jnp.sum(bsizes, axis=-1)
-    # reorder to stream-plane order p = b*bpp + j (tiny XLA transposes)
-    plane_off = po_raw.transpose(0, 2, 1).reshape(n_sb, nb * bpp)
-    rowtab = rt_raw.reshape(n_sb, bpp, 16, nb).transpose(0, 2, 3, 1)
-    rowtab = rowtab.reshape(n_sb, 16, nb * bpp)
-    return rows, totals, bsizes, fsizes, plane_off, rowtab
+    plane_off = po_raw.reshape(n_sb, bpp * nb)  # 'jb' order, free reshape
+    return rows, totals, bsizes, fsizes, plane_off
 
 
 encode_slabs_index_jit = partial(

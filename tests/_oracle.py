@@ -87,6 +87,25 @@ def compress(data: bytes, bytesoftype: int, level: int) -> bytes:
     return dst.raw[:r]
 
 
+def compress_with_capacity(data: bytes, bytesoftype: int, level: int,
+                           dst_size: int):
+    """Reference compress into an EXACT capacity, with sentinel canaries
+    after the buffer (tests_comp_decomp.cpp:93-113 behavior). Returns the
+    frame bytes or the negative error code."""
+    lib = get_lib()
+    canary = b"\xa5" * 64
+    dst = ctypes.create_string_buffer(max(dst_size, 0) + 64)
+    dst.raw  # materialize
+    ctypes.memmove(ctypes.addressof(dst) + max(dst_size, 0), canary, 64)
+    r = lib.stenos_compress(data, bytesoftype, len(data), dst,
+                            max(dst_size, 0), level)
+    tail = ctypes.string_at(ctypes.addressof(dst) + max(dst_size, 0), 64)
+    assert tail == canary, "reference wrote past dst capacity"
+    if has_error(r):
+        return -(2**64 - r)
+    return dst.raw[:r]
+
+
 def decompress(frame: bytes, bytesoftype: int, dst_size: int) -> bytes:
     lib = get_lib()
     dst = ctypes.create_string_buffer(dst_size + 64)

@@ -7,9 +7,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "parallel_codegen" not in flags:
+    # long cold-cache suite runs intermittently segfault inside XLA:CPU's
+    # parallel LLVM codegen (observed on the pallas-interpret kernels);
+    # single-threaded codegen trades a little compile time for determinism
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 
@@ -53,3 +57,16 @@ def gen_elements(rng, bpp, nelem, kind):
 @pytest.fixture
 def gen():
     return gen_elements
+
+
+@pytest.fixture
+def no_persistent_cache():
+    """Serializing some interpret-mode Pallas executables into the
+    persistent compilation cache segfaults inside the (de)serializer
+    (observed repeatedly for the derive-index decode kernel in long suite
+    runs). Tests that compile those kernels opt out of persistence; the
+    compiles are small."""
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old)

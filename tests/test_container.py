@@ -105,3 +105,116 @@ def test_eviction_bounded(rng):
     # random access still correct under eviction pressure
     for i in rng.integers(0, len(data), 50):
         assert v[int(i)] == data[int(i)]
+
+
+def test_insert_erase_resize(rng):
+    data = rng.integers(0, 1 << 30, 3000).astype(np.int32)
+    v = CompressedArray(np.int32, level=2)
+    v.extend(data)
+    ref = list(data)
+
+    v.insert(100, 7)
+    ref.insert(100, 7)
+    v.insert(0, [1, 2, 3])
+    ref[0:0] = [1, 2, 3]
+    v.insert(len(v), 99)
+    ref.append(99)
+    assert (v.to_numpy() == np.array(ref, np.int32)).all()
+
+    v.erase(50)
+    del ref[50]
+    v.erase(10, 700)
+    del ref[10:700]
+    assert (v.to_numpy() == np.array(ref, np.int32)).all()
+
+    v.resize(len(v) - 500)
+    del ref[len(ref) - 500 :]
+    v.resize(len(v) + 123, fill=-5)
+    ref += [-5] * 123
+    assert len(v) == len(ref)
+    assert (v.to_numpy() == np.array(ref, np.int32)).all()
+
+    v.pop_back()
+    ref.pop()
+    assert len(v) == len(ref)
+    assert (v.to_numpy() == np.array(ref, np.int32)).all()
+
+
+def test_const_apply_stays_clean(rng):
+    data = np.sort(rng.integers(0, 1 << 30, 4096)).astype(np.int32)
+    v = CompressedArray(np.int32, level=1, max_raw_buckets=2)
+    v.extend(data)
+    blob1 = v.serialize()  # compresses everything; buckets now clean
+    acc = []
+    n = v.const_apply(lambda c: acc.append(int(c.sum())))
+    assert n == len(v)
+    assert sum(acc) == int(data.sum())
+    # read-only scan must not dirty: all full buckets stay clean
+    assert not any(b.dirty for b in v._buckets[:-1])
+    # and a read-only view refuses writes
+    with pytest.raises((ValueError, RuntimeError)):
+        v.const_apply(lambda c: c.__setitem__(0, 1))
+    assert v.serialize() == blob1
+
+
+def test_apply_backward(rng):
+    data = rng.integers(0, 100, 1000).astype(np.int32)
+    v = CompressedArray(np.int32, level=1)
+    v.extend(data)
+    seen = []
+    v.const_apply_backward(lambda c: seen.extend(c.tolist()))
+    assert seen == data[::-1].tolist()
+    v.apply_backward(lambda c: c.__iadd__(1))
+    assert (v.to_numpy() == data + 1).all()
+
+
+def test_stream_serialize_roundtrip(rng):
+    import io
+
+    data = np.sort(rng.integers(0, 1 << 30, 9000)).astype(np.uint32)
+    v = CompressedArray(np.uint32, block_shift=1, level=2)
+    v.extend(data)
+    buf = io.BytesIO()
+    n = v.serialize_to(buf)
+    assert n == buf.tell()
+    assert buf.getvalue() == v.serialize()
+    buf.seek(0)
+    w = CompressedArray.deserialize_from(buf, np.uint32)
+    assert (w.to_numpy() == data).all()
+
+
+def test_concurrent_fetch_add_stress(rng):
+    """16-thread concurrent read-modify-write over the SAME container
+    (test_cvector.cpp:692-726 analog: cvector<atomic<int>> fetch_add)."""
+    import threading
+
+    n = 8192
+    v = CompressedArray(np.int64, level=1, max_raw_buckets=3)
+    v.extend(np.zeros(n, np.int64))
+    threads = 16
+    adds_per_thread = 4
+
+    def worker(seed):
+        r = np.random.default_rng(seed)
+        for _ in range(adds_per_thread):
+            # whole-array increment via apply (chunk-locked)
+            v.apply(lambda c: c.__iadd__(1))
+            # plus scattered reads to force pool churn
+            for i in r.integers(0, n, 8):
+                v[int(i)]
+
+    ts = [threading.Thread(target=worker, args=(s,)) for s in range(threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert (v.to_numpy() == threads * adds_per_thread).all()
+
+
+def test_strong_debug_flag(rng, monkeypatch):
+    monkeypatch.setenv("STENOS_STRONG_DEBUG", "1")
+    data = np.sort(rng.integers(0, 1 << 30, 2048)).astype(np.int32)
+    v = CompressedArray(np.int32, level=2)
+    v.extend(data)
+    blob = v.serialize()  # every chunk verify-compressed under the flag
+    assert (np.frombuffer(st.decompress(blob, 4), np.int32) == data).all()

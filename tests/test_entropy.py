@@ -84,3 +84,76 @@ def test_device_path_routes_runny_blocks(rng):
     back = zstd_host.decompress(frame, len(a) + 16)
     assert back == a.tobytes()
     assert len(frame) < len(a) // 8
+
+
+def test_general_matches_and_custom_fse(rng):
+    """General-offset match finding + custom FSE sequence tables: frames
+    must decode via libzstd and land near libzstd's own size (the
+    reference's entropy stage, zstd_wrapper.h:59-90)."""
+    from stenos_tpu.entropy.zstd_frame import encode_frame_host
+    from stenos_tpu.host import zstd as zh
+
+    words = [rng.bytes(int(rng.integers(3, 9))) for _ in range(200)]
+    text = b" ".join(words[int(rng.integers(0, 200))] for _ in range(30000))
+    data = np.frombuffer(text[:200000], np.uint8)
+    f = encode_frame_host(data)
+    assert zh.decompress(f, len(data) + 64) == data.tobytes()
+    z = zh.compress(data.tobytes(), len(data) * 2 + 1024, 3)
+    assert len(f) <= len(z) * 1.10, (len(f), len(z))
+
+
+def test_match_finder_correctness(rng):
+    from stenos_tpu.entropy.match import find_matches, greedy_parse
+
+    data = np.frombuffer(
+        b"abcdefgh" + rng.bytes(64) + b"XabcdefghY" + rng.bytes(32)
+        + b"abcdefgh", np.uint8)
+    pos, dist, ml = find_matches(data)
+    assert len(pos)  # the repeated 8-byte word must be found
+    for p, d, l in zip(pos, dist, ml):
+        assert (data[p : p + l] == data[p - d : p - d + l]).all()
+
+    r = greedy_parse(np.frombuffer(
+        (b"0123456789abcdef" * 64 + rng.bytes(16)) * 8, np.uint8))
+    assert r is not None
+    seqs, lits = r
+    # reconstruct and compare
+    out = bytearray()
+    li = 0
+    lits_b = lits.tobytes()
+    for ll, ofv, mlen in seqs:
+        out += lits_b[li : li + ll]
+        li += ll
+        off = ofv - 3
+        for _ in range(mlen):
+            out.append(out[-off])
+    out += lits_b[li:]
+
+
+def test_sequences_channel_modes(rng):
+    """RLE / Predefined / Compressed channel modes all decode."""
+    from stenos_tpu.entropy.sequences import encode_sequences
+    from stenos_tpu.entropy.zstd_frame import raw_literals_section
+    from stenos_tpu.host import zstd as zh
+
+    # constant ll/ml/offset -> RLE channels
+    lits = rng.integers(0, 255, 10 * 8).astype(np.uint8)
+    seqs = [(8, 4 + 3, 16)] * 9 + [(8, 4 + 3, 16)]
+    # build the decoded content to know expected output
+    out = bytearray()
+    li = 0
+    lb = lits.tobytes()
+    for ll, ofv, mlen in seqs:
+        out += lb[li : li + ll]
+        li += ll
+        off = ofv - 3
+        for _ in range(mlen):
+            out.append(out[-off])
+    out += lb[li:]
+    content = raw_literals_section(lits) + encode_sequences(seqs)
+    frame = bytearray()
+    frame += (0xFD2FB528).to_bytes(4, "little")
+    frame += bytes([0xA0]) + len(out).to_bytes(4, "little")
+    frame += (1 | (2 << 1) | (len(content) << 3)).to_bytes(3, "little")
+    frame += content
+    assert zh.decompress(bytes(frame), len(out) + 64) == bytes(out)

@@ -76,3 +76,40 @@ def test_device_frame_decodes_with_libzstd(rng):
     frame = encode_frame_device(data, interpret=True)
     back = zstd_host.decompress(frame, len(data) + 16)
     assert back == data.tobytes()
+
+
+def test_device_entropy_decode_kernel(rng):
+    """Anchored Huffman decode kernel: frames with the sidecar decompress
+    on device, bit-exact with the host path (VERDICT r1 item 2)."""
+    from stenos_tpu import frame as fr
+    from stenos_tpu.engine_jax import JaxEngine
+    from stenos_tpu.entropy.device_decode import decode_payload_device
+
+    data = rng.normal(128, 20, 2 * 131072 + 777).clip(0, 255).astype(np.uint8)
+    f = fr.compress(data, 1, 2, entropy="device")
+    assert f[8] == 2  # METHOD_ZSTD on bpp-1 data
+    # host ladder (libzstd skips the sidecar frame)
+    assert bytes(fr.decompress(f, 1, engine=None)) == data.tobytes()
+    # device ladder (kernel path; tail block rejects -> whole-superblock
+    # fallback only when a superblock has a partial block)
+    eng = JaxEngine()
+    back = fr.decompress(f, 1, engine=eng)
+    assert bytes(memoryview(np.asarray(back))) == data.tobytes()
+    # the first (full-blocks) superblock decodes through the kernel directly
+    csize = int.from_bytes(f[9:12], "little")
+    r = decode_payload_device(f[12 : 12 + csize], 131072, interpret=True)
+    assert r is not None
+    assert np.asarray(r).tobytes() == data[:131072].tobytes()
+
+
+def test_sidecar_roundtrip(rng):
+    from stenos_tpu.entropy.sidecar import pack_sidecar, split_sidecar
+
+    lens = rng.integers(0, 12, 256)
+    anchors = np.sort(rng.integers(0, 360000, (4, 256)))[:, ::-1]
+    blob = b"FAKEZSTDFRAME" + pack_sidecar([None, (lens, anchors)])
+    end, entries = split_sidecar(blob)
+    assert end == 13
+    assert entries is not None and entries[0] is None
+    l2, a2 = entries[1]
+    assert (l2 == lens).all() and (a2 == anchors).all()

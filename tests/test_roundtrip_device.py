@@ -5,6 +5,9 @@ import pytest
 
 import jax
 
+import pytest as _pytest
+pytestmark = _pytest.mark.usefixtures("no_persistent_cache")
+
 from stenos_tpu.engine_jax import roundtrip_device
 
 from conftest import gen_elements

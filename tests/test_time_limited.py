@@ -54,3 +54,37 @@ def test_context_api(rng):
     ctx.set_level(3)
     frame = st.compress_generic(ctx, data, 2)
     assert frame == st.compress(data, 2, 3)
+
+
+def test_timed_batched_rounds_with_engine(rng):
+    """Batch-granular timed mode: one engine dispatch per round
+    (stenos.cpp:936-965 rounds, TimeConstraint at round granularity).
+    On the CPU test mesh compile time eats the budget — correctness of the
+    emitted frame and the memcpy self-rescue are what's asserted."""
+    from stenos_tpu.engine_jax import JaxEngine
+
+    data = gen_elements(rng, 4, 1_000_000, "sorted")
+    ctx = st.Context(max_nanoseconds=10_000_000_000, engine=JaxEngine())
+    frame = st.compress_generic(ctx, data, 4)
+    assert st.decompress(frame, 4).tobytes() == data
+    assert len(frame) < len(data)
+
+    ctx = st.Context(max_nanoseconds=2, engine=JaxEngine())
+    frame = st.compress_generic(ctx, data, 4)
+    assert st.decompress(frame, 4).tobytes() == data
+    # nearly everything memcpy'd (the 1-superblock calibration round may
+    # compress, matching the reference's processed==0 full-level start)
+    assert len(frame) >= len(data) * 0.9
+
+
+def test_timed_overshoot_bound(rng):
+    """Round-sized controller: overshoot bounded by ~one round (25% of
+    remaining budget) — asserted with CI slack."""
+    data = gen_elements(rng, 4, 4_000_000, "sorted")
+    budget_ns = 400_000_000
+    ctx = st.Context(max_nanoseconds=budget_ns)
+    t0 = time.perf_counter_ns()
+    frame = st.compress_generic(ctx, data, 4)
+    elapsed = time.perf_counter_ns() - t0
+    assert st.decompress(frame, 4).tobytes() == data
+    assert elapsed < budget_ns * 1.5 + 300_000_000, elapsed

@@ -61,7 +61,7 @@ def main():
     rng = np.random.default_rng(20260816)
     fails = 0
 
-    bpps = [2, 4] if args.quick else [1, 2, 3, 4, 6, 8, 12]
+    bpps = [2, 4] if args.quick else list(range(1, 17))
     kinds = ["sorted", "random"] if args.quick else [
         "sorted", "random", "same", "rle", "smallrange"]
     levels = [1, 2] if args.quick else [0, 1, 2, 5, 9]
@@ -86,21 +86,45 @@ def main():
                               f" bits={ok_bits} rt={ok_rt} oracle={ok_x}")
         print(f"bpp={bpp}: grid ok")
 
-    # device closed loop
-    sb = 131072
-    for bpp in ([4] if args.quick else [2, 4, 8]):
-        n_sb = 16
-        nb = sb // (256 * bpp)
+    # device closed loop (encode+index -> derive-index decode), EVERY bpp:
+    # compiled-kernel coverage with no XLA fallback on the grid
+    for bpp in ([4] if args.quick else list(range(1, 17))):
+        block = 256 * bpp
+        nb = max(1, min(128, 131072 // block))
+        sb = nb * block
+        n_sb = 8
         raw = np.frombuffer(
             gen_elements(rng, bpp, (n_sb * sb) // bpp, "sorted"),
             np.uint8)[: n_sb * sb]
         batch = jax.device_put(raw.reshape(n_sb, sb), jax.devices()[0])
-        w, rows, totals = roundtrip_device(batch, bpp, 2)
-        out = np.ascontiguousarray(np.asarray(w)).view(np.uint8).reshape(-1)
-        if out.tobytes() != raw.tobytes():
+        try:
+            w, rows, totals = roundtrip_device(batch, bpp, 2)
+            out = np.ascontiguousarray(
+                np.asarray(w)).view(np.uint8).reshape(-1)
+            ok = out.tobytes() == raw.tobytes()
+        except Exception as e:
+            ok = False
+            print(f"  device roundtrip bpp={bpp} raised: {e}")
+        if not ok:
             fails += 1
             print(f"FAIL device roundtrip bpp={bpp}")
+        else:
+            print(f"device roundtrip bpp={bpp} ok")
     print("device closed loop ok")
+
+    # sharded production path on the single real chip (1-device mesh)
+    from stenos_tpu.parallel import compress_device_sharded, make_mesh
+
+    raw = np.frombuffer(gen_elements(rng, 4, (4 * 131072) // 4, "sorted"),
+                        np.uint8)[: 4 * 131072]
+    fdev, flen = compress_device_sharded(
+        raw.reshape(4, 131072), 4, 1, make_mesh(1))
+    fbytes = np.asarray(fdev)[: int(flen)].tobytes()
+    if oracle.decompress(fbytes, 4, len(raw)) != raw.tobytes():
+        fails += 1
+        print("FAIL: sharded+assembled frame not decodable by reference")
+    else:
+        print("sharded frame assembler ok")
 
     # device entropy -> reference decodes it
     noisy = np.cumsum(rng.normal(0, 300, 500_000)).astype("<i4").view(np.uint8)
