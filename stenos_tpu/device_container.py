@@ -54,13 +54,23 @@ class DeviceCompressedArray:
         # external frame whose virtual stream differs from its record bytes
         # (LZ/COPY blocks inlined by the parser); serialize() prefers these
         self._records = None
+        # optional packed device entropy stage (records huffman-coded in
+        # HBM; _rows dropped when active)
+        self._entropy = None
 
     # ---------------------------------------------------------- construct
     @classmethod
     def from_array(cls, arr, slab_elems: int | None = None,
-                   block_level: int = 2):
+                   block_level: int = 2, entropy: bool = False):
         """arr: 1-D numpy/jax array of a fixed-size dtype. slab_elems
-        defaults to 128 KiB worth of elements (the reference superblock)."""
+        defaults to 128 KiB worth of elements (the reference superblock).
+
+        entropy=True adds the device entropy stage on top of the block
+        codec (the BLOCK_ZSTD analog for device-resident data): slab
+        records pack into shared 128 KiB huffman blocks encoded by the
+        Pallas coder, and reads huffman-decode on device (anchored kernel)
+        before the block decode — no host byte traffic in either
+        direction. See _EntropyStore."""
         from .engine_jax import _bucket125
         from .ops.encode_pallas import encode_slabs_index_jit, slab_nb
 
@@ -95,7 +105,12 @@ class DeviceCompressedArray:
         totals = np.asarray(totals)
         rb = min(_bucket125(int(totals.max()) + 512), rows.shape[1])
         rows = jnp.asarray(rows[:, :rb])  # drop padding beyond the bucket
-        return cls(dtype, slab_bytes, nbytes, rows, totals, po, tail, "jb")
+        self = cls(dtype, slab_bytes, nbytes, rows, totals, po, tail, "jb")
+        if entropy:
+            self._entropy = _EntropyStore.pack(rows, totals, rb)
+            if self._entropy is not None:
+                self._rows = None  # records live entropy-coded now
+        return self
 
     @classmethod
     def deserialize(cls, frame: bytes, dtype):
@@ -160,6 +175,8 @@ class DeviceCompressedArray:
     # ------------------------------------------------------------- access
     @property
     def n_slabs(self) -> int:
+        if self._totals is not None and len(self._totals):
+            return int(len(self._totals))
         return 0 if self._rows is None else self._rows.shape[0]
 
     def __len__(self) -> int:
@@ -176,8 +193,12 @@ class DeviceCompressedArray:
         from .ops.decode_pallas import decode_slabs_derive_jit
 
         nb = self.slab_bytes // (256 * self.dtype.itemsize)
+        if self._entropy is not None:
+            vbufs = self._entropy.slab_vbufs(s0, s1)
+        else:
+            vbufs = self._rows[s0:s1]
         return decode_slabs_derive_jit(
-            self._rows[s0:s1], self._plane_off[s0:s1],
+            vbufs, self._plane_off[s0:s1],
             self.dtype.itemsize, nb, self._order, _interp())
 
     def to_array(self) -> np.ndarray:
@@ -217,6 +238,12 @@ class DeviceCompressedArray:
     def memory_footprint(self) -> int:
         """Compressed HBM bytes + index (the cvector memory_footprint
         analog, cvector.hpp:1886-1895)."""
+        if self._entropy is not None:
+            e = self._entropy
+            return (int(e.words.shape[0]) * int(e.words.shape[1]) * 4
+                    + e.anchors.size * 4 + e.tabs.size * 4
+                    + len(e.raw) * e.BLOCK
+                    + self._plane_off.size * 4 + len(self._tail))
         if self._rows is None:
             return len(self._tail)
         return (int(self._rows.shape[0]) * int(self._rows.shape[1])
@@ -238,9 +265,20 @@ class DeviceCompressedArray:
             for rec in self._records:
                 out += rec
         elif self.n_slabs:
-            rows = np.asarray(self._rows)
-            for i in range(self.n_slabs):
-                out += bytes(rows[i][: self._totals[i]])
+            if self._entropy is not None:
+                # reconstitute the method-BLOCK records from the entropy
+                # store (serialized frames carry the block-codec stage;
+                # the huffman stage is container-internal)
+                e = self._entropy
+                nblk = len(e.flags)
+                flat = np.asarray(e.decode_blocks(0, nblk))
+                for i in range(self.n_slabs):
+                    o = int(e.offs[i])
+                    out += bytes(flat[o : o + int(e.totals[i])])
+            else:
+                rows = np.asarray(self._rows)
+                for i in range(self.n_slabs):
+                    out += bytes(rows[i][: self._totals[i]])
         if self._tail:
             blob = fr.compress(np.frombuffer(self._tail, np.uint8),
                                self.dtype.itemsize, 1,
@@ -256,3 +294,125 @@ def _shift_of(slab_bytes: int, bpp: int) -> int:
     while (block << shift) < slab_bytes:
         shift += 1
     return shift
+
+
+class _EntropyStore:
+    """Packed device entropy stage for a DeviceCompressedArray.
+
+    Slab records concatenate into shared 128 KiB huffman blocks (the
+    BLOCK_ZSTD residual-entropy idea, stenos.cpp:582-603, restructured for
+    fixed kernel shapes): each block's four 32 KiB streams encode with the
+    Pallas huffman coder (anchors emitted for free), and reads decode the
+    covering blocks with the anchored decode kernel — compressed bytes,
+    anchors and tables all stay in HBM. Blocks whose table degenerates or
+    that don't shrink stay raw (flag 0). Random access costs the 1-2
+    entropy blocks covering the slab's span."""
+
+    BLOCK = 131072
+
+    def __init__(self, words, sizes, anchors, tabs, flags, raw, offs,
+                 totals, rb):
+        self.words = words        # (nblk*4, wbucket/4) int32, device
+        self.sizes = sizes        # (nblk*4,) host
+        self.anchors = anchors    # (nblk*4, 256) int32, device
+        self.tabs = tabs          # (nblk*4, 304) int32, device
+        self.flags = flags        # (nblk,) host bool: 1 = huffman-coded
+        self.raw = raw            # dict blk -> (BLOCK,) uint8 device
+        self.offs = offs          # (n_slabs,) host record offsets
+        self.totals = totals      # (n_slabs,) host record lengths
+        self.rb = rb
+
+    @classmethod
+    def pack(cls, rows, totals, rb):
+        import jax
+
+        from .engine_jax import _frame_assemble
+        from .entropy.huff_pallas import (encode_streams_device,
+                                          histogram_device)
+        from .entropy.huffman import build_ctables_batch, code_lengths_batch
+        from .entropy.huff_decode_pallas import decode_tables
+
+        totals = np.asarray(totals)
+        offs = (np.cumsum(totals) - totals).astype(np.int32)
+        total_len = int(totals.sum())
+        nblk = -(-total_len // cls.BLOCK)
+        if nblk == 0:
+            return None
+        cap = nblk * cls.BLOCK
+        # slack past cap: dynamic_update_slice CLAMPS out-of-range starts,
+        # so the buffer must fit the last record's full padded row
+        concat = _frame_assemble(rows, jnp.asarray(offs),
+                                 np.zeros(8, np.uint8),
+                                 cap + rows.shape[1])[:cap]
+        blocks = concat.reshape(nblk, cls.BLOCK)
+        hist = np.asarray(histogram_device(blocks, _interp()))
+        lens_all = code_lengths_batch(hist)
+        codes_all = build_ctables_batch(lens_all)
+        luts = (codes_all.astype(np.int32)
+                | (lens_all.astype(np.int32) << 11))
+        streams = blocks.reshape(nblk * 4, cls.BLOCK // 4)
+        words, sizes, anchors = encode_streams_device(
+            streams, jnp.asarray(np.repeat(luts, 4, axis=0)), _interp(),
+            with_anchors=True)
+        sizes = np.asarray(sizes)
+        flags = np.ones(nblk, bool)
+        raw = {}
+        for b in range(nblk):
+            ok = int((lens_all[b] > 0).sum()) >= 2
+            # anchors+tables cost ~5.2 KiB/block: require a real gain
+            if ok and sizes[4 * b : 4 * b + 4].sum() + 5200 \
+                    < cls.BLOCK * 92 // 100:
+                continue
+            flags[b] = False
+            raw[b] = blocks[b]
+        if not flags.any():
+            return None
+        tabs = np.zeros((nblk * 4, 304), np.int32)
+        for b in range(nblk):
+            if flags[b]:
+                t = decode_tables(lens_all[b])
+                tabs[4 * b : 4 * b + 4] = t[0]
+        wbucket = -(-int(sizes[np.repeat(flags, 4)].max()) // 512) * 512
+        words = jnp.asarray(words[:, : wbucket // 4])
+        store = cls(words, sizes, jnp.asarray(anchors),
+                    jnp.asarray(tabs), flags, raw, offs, totals, rb)
+        # the whole stage must beat the plain record store, or it's off
+        plain_bytes = int(rows.shape[0]) * int(rows.shape[1])
+        ours = (int(words.shape[0]) * int(words.shape[1]) * 4
+                + anchors.size * 4 + tabs.size * 4 + len(raw) * cls.BLOCK)
+        if ours >= plain_bytes:
+            return None
+        return store
+
+    def decode_blocks(self, b0: int, b1: int):
+        """-> ((b1-b0) * BLOCK,) uint8 device (+rb zero slack appended)."""
+        import jax
+
+        from .entropy.huff_decode_pallas import decode_streams_device
+
+        w = self.words[4 * b0 : 4 * b1]
+        ns = w.shape[0]
+        wbytes = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(ns, -1)
+        syms = decode_streams_device(
+            wbytes, self.anchors[4 * b0 : 4 * b1],
+            self.tabs[4 * b0 : 4 * b1], _interp())
+        out = syms.astype(jnp.uint8).reshape(b1 - b0, self.BLOCK)
+        for b in range(b0, b1):
+            if not self.flags[b]:
+                out = out.at[b - b0].set(self.raw[b])
+        return jnp.concatenate(
+            [out.reshape(-1), jnp.zeros(self.rb, jnp.uint8)])
+
+    def slab_vbufs(self, s0: int, s1: int):
+        """Reassemble records for slabs [s0, s1) -> (s1-s0, rb) uint8."""
+        lo = int(self.offs[s0])
+        hi = int(self.offs[s1 - 1] + self.totals[s1 - 1])
+        b0 = lo // self.BLOCK
+        b1 = -(-hi // self.BLOCK)
+        flat = self.decode_blocks(b0, b1)
+        parts = [
+            jax.lax.dynamic_slice(flat, (int(self.offs[i]) - b0 * self.BLOCK,),
+                                  (self.rb,))
+            for i in range(s0, s1)
+        ]
+        return jnp.stack(parts)

@@ -207,6 +207,11 @@ def roundtrip_device(batch, bpp: int, block_level: int = 2,
 
     n_sb, sbytes = batch.shape
     nb = sbytes // (256 * bpp)
+    if rb is not None and not interpret:
+        # steady-state: ONE dispatch for the whole encode->decode loop
+        w, rows, totals = _roundtrip_fused_jit(
+            batch, bpp, block_level, min(rb, 4096 * 64), nb)
+        return w, rows, totals
     rows, totals, _, _, plane_off = encode_slabs_index_jit(
         batch, bpp, block_level, interpret)
     if rb is None:
@@ -215,6 +220,19 @@ def roundtrip_device(batch, bpp: int, block_level: int = 2,
     dec = decode_slabs_derive_body if interpret else decode_slabs_derive_jit
     words = dec(rows[:, :rb], plane_off, bpp, nb, "jb", interpret)
     return words, rows, totals
+
+
+@partial(jax.jit, static_argnames=("bpp", "block_level", "rb", "nb"))
+def _roundtrip_fused_jit(batch, bpp: int, block_level: int, rb: int,
+                        nb: int):
+    from .ops.decode_pallas import decode_slabs_derive_body
+    from .ops.encode_pallas import encode_slabs_index_body
+
+    rows, totals, _, _, plane_off = encode_slabs_index_body(
+        batch, bpp, block_level)
+    rb2 = min(rb, rows.shape[1])
+    w = decode_slabs_derive_body(rows[:, :rb2], plane_off, bpp, nb, "jb")
+    return w, rows, totals
 
 
 class JaxEngine:

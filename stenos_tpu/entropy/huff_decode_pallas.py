@@ -120,24 +120,30 @@ def make_decode_kernel(R: int):
         win = win[:, :192]             # bits live in the first 192 bytes
 
         # ---- 2. sequential canonical decode, segments in lanes -----------
+        # a fori_loop (not an unrolled python loop): Mosaic reuses one
+        # iteration's VMEM instead of live-ranging 128 copies of the
+        # (S, 192) fetch masks (which blew past the 128 MiB capacity)
         base = [tab[0, l] for l in range(1, 12)]
         nl = [tab[0, 12 + l] for l in range(1, 12)]
         off = [tab[0, 24 + l] for l in range(1, 12)]
         sub = _iota((S, 192), 1)
-        rloc = rcol - (lob << 3)       # bit cursor local to window (S, 1)
-        cols = []
-        for _ in range(K):
+        kcol = _iota((S, K), 1)
+        rloc0 = rcol - (lob << 3)      # bit cursor local to window (S, 1)
+
+        UNROLL = 8  # amortize fori_loop control overhead; VMEM stays ~10 MB
+
+        def one(rloc):
             # lookahead window may hang below bit 0 near the stream bottom:
             # clamp and LEFT-align so the code's MSB always sits at bit 10
             lo = jnp.maximum(rloc - 11, 0)
             bidx = lo >> 3             # (S, 1): lowest byte of the window
             sh = lo & 7
-            m0 = sub == bidx
-            m1 = sub == bidx + 1
-            m2 = sub == bidx + 2
-            b0 = jnp.sum(jnp.where(m0, win, 0), axis=1, keepdims=True)
-            b1 = jnp.sum(jnp.where(m1, win, 0), axis=1, keepdims=True)
-            b2 = jnp.sum(jnp.where(m2, win, 0), axis=1, keepdims=True)
+            b0 = jnp.sum(jnp.where(sub == bidx, win, 0), axis=1,
+                         keepdims=True)
+            b1 = jnp.sum(jnp.where(sub == bidx + 1, win, 0), axis=1,
+                         keepdims=True)
+            b2 = jnp.sum(jnp.where(sub == bidx + 2, win, 0), axis=1,
+                         keepdims=True)
             v = b0 | (b1 << 8) | (b2 << 16)
             W = ((v >> sh) << jnp.maximum(11 - rloc, 0)) & 0x7FF
             ln_v = jnp.zeros((S, 1), jnp.int32)
@@ -149,9 +155,18 @@ def make_decode_kernel(R: int):
                 ln_v = jnp.where(fresh, l, ln_v)
                 idx_v = jnp.where(fresh, off[l - 1] + cand - base[l - 1],
                                   idx_v)
-            cols.append(idx_v)
-            rloc = rloc - ln_v
-        ranks = jnp.concatenate(cols, axis=1)  # (S, K) symbol ranks
+            return ln_v, idx_v
+
+        def step(g, carry):
+            rloc, ranks = carry
+            for u in range(UNROLL):
+                ln_v, idx_v = one(rloc)
+                ranks = jnp.where(kcol == g * UNROLL + u, idx_v, ranks)
+                rloc = rloc - ln_v
+            return rloc, ranks
+
+        _, ranks = jax.lax.fori_loop(
+            0, K // UNROLL, step, (rloc0, jnp.zeros((S, K), jnp.int32)))
 
         # ---- 3. ranks -> symbols (256-select, bulk) ----------------------
         out = jnp.zeros((S, K), jnp.int32)

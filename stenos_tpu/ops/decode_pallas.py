@@ -45,8 +45,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WROW = 24   # per-row window slot
-WPLANE = 512  # gathered plane window (4 x 128)
+WROW = 18   # per-row window slot (max row payload: RLE mask 2 + 16 bytes)
+WPLANE = 512  # gathered plane window (4 x 128; coverage >= 385 > 282 max)
+WEXP = 320    # stage-2 working rows: DOFF + 16*WROW = 320 <= coverage
 
 
 def _iota(shape, dim):
@@ -128,7 +129,6 @@ def make_decode_kernel(bpp: int, nb: int, R: int, derive: bool = False,
     """Kernel body. P = nb*bpp planes; vbuf is (R, 128) payload rows."""
     P = nb * bpp
     Sw = 64 * bpp  # output words per block
-    EXP_W = WPLANE + 16 * WROW  # 896
 
     def derive_records(wt, code):
         """Row records from the stream's own bytes (parse_plane_rows_packed
@@ -175,7 +175,11 @@ def make_decode_kernel(bpp: int, nb: int, R: int, derive: bool = False,
         lut = jnp.where(h_nib == 15, 16,
                         jnp.where(h_nib >= 8, 2 * (h_nib - 8), 2 * h_nib))
         is_rle_row = (h_nib == 6) | (h_nib == 7)
-        sub = _iota((WPLANE, P), 0)
+        # masks live at rel <= 8 + 18 + 15*16 + 16 = 282: slicing the
+        # window to 304 rows cuts the 16-step chain's reduction cost ~40%
+        WCH = 304
+        wch = wt[:WCH]
+        sub = _iota((WCH, P), 0)
         rel_rows = []
         rel = base
         for r in range(16):
@@ -183,8 +187,8 @@ def make_decode_kernel(bpp: int, nb: int, R: int, derive: bool = False,
             # dynamic 2-byte read at rel (the RLE mask); uniform lane work
             m0 = sub == rel
             m1 = sub == rel + 1
-            b0 = jnp.sum(jnp.where(m0, wt, 0), axis=0, keepdims=True)
-            b1 = jnp.sum(jnp.where(m1, wt, 0), axis=0, keepdims=True)
+            b0 = jnp.sum(jnp.where(m0, wch, 0), axis=0, keepdims=True)
+            b1 = jnp.sum(jnp.where(m1, wch, 0), axis=0, keepdims=True)
             rmask = b0 | (b1 << 8)
             rle_sz = 2 + 16 - _popcount16(rmask)
             sz = jnp.where(is_rle_row[r : r + 1], rle_sz, lut[r : r + 1])
@@ -218,7 +222,10 @@ def make_decode_kernel(bpp: int, nb: int, R: int, derive: bool = False,
             rolled = pltpu.roll(win, WPLANE - bit, axis=1)
             win = jnp.where((rot & bit) != 0, rolled, win)
 
-        wt = win.T  # (WPLANE, P)
+        # every byte the expansion/derivation touches sits below WEXP=320
+        # (max plane span 282, dest slots end at 320): slicing before the
+        # transpose cuts the per-stage tensor cost by ~40%
+        wt = win[:, :WEXP].T  # (WEXP, P)
 
         # ---- row records: derived in-kernel or from the parser's rowtab --
         if derive:
@@ -230,10 +237,10 @@ def make_decode_kernel(bpp: int, nb: int, R: int, derive: bool = False,
             hdr = (rt >> 10) & 15
             minv = (rt >> 14) & 255
 
-        # ---- 2. row expansion: (P, 512) -> 16 x 24-byte slots ------------
-        j = _iota((WPLANE, P), 0)
-        owner = jnp.full((WPLANE, P), -1, jnp.int32)
-        start_of = jnp.zeros((WPLANE, P), jnp.int32)
+        # ---- 2. row expansion: (P, 320) -> 16 x 18-byte slots ------------
+        j = _iota((WEXP, P), 0)
+        owner = jnp.full((WEXP, P), -1, jnp.int32)
+        start_of = jnp.zeros((WEXP, P), jnp.int32)
         for r in range(16):
             relr = rel[r : r + 1, :]  # (1, P)
             started = j >= relr
@@ -241,16 +248,15 @@ def make_decode_kernel(bpp: int, nb: int, R: int, derive: bool = False,
             start_of = jnp.where(started, relr, start_of)
         inwin = j - start_of
         ok = (owner >= 0) & (inwin < WROW)
-        # dest slots live INSIDE the 512-wide window at offset DOFF: valid
-        # rows satisfy rel_r <= 8 + 18 + 18r, so 24r - rel_r >= -26 and the
-        # shift DOFF + 24*owner + inwin - j stays >= DOFF - 26 >= 0 and
-        # non-decreasing along j (collision-freedom as in ops/compact.py) —
-        # halving the shift width vs a disjoint [512, 896) destination region
+        # dest slots live INSIDE the working window at offset DOFF: row r's
+        # bytes all get shift = DOFF + WROW*r - rel_r, which is >= 6 (rel_r
+        # <= 26 + 16r) and non-decreasing across rows (row payloads are
+        # <= 16 < WROW bytes) — collision-freedom as in ops/compact.py
         DOFF = 32
         dest = DOFF + owner * WROW + inwin
         shift = jnp.where(ok, dest - j, 0)
         w = jnp.where(ok, (wt & 255) | (shift << 8) | (1 << 30), 0)
-        sub = _iota((WPLANE, P), 0)
+        sub = _iota((WEXP, P), 0)
         K = (DOFF + 16 * WROW - 1).bit_length()
         for k in reversed(range(K)):
             step = 1 << k

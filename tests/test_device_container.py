@@ -52,3 +52,42 @@ def test_compression_happens(rng):
     a = np.frombuffer(gen_elements(rng, 4, 96 * 1024, "smallrange"), "<u4")
     arr = DeviceCompressedArray.from_array(a)
     assert arr.current_compression_ratio() > 2.0
+
+
+def test_entropy_container_roundtrip(rng):
+    """Packed device entropy stage: records huffman-coded in HBM, reads
+    decode entropy -> block codec fully on device (VERDICT r1 item 2's
+    container clause)."""
+    from stenos_tpu.device_container import DeviceCompressedArray
+
+    probs = 1.0 / np.arange(1, 31)
+    probs /= probs.sum()
+    d = rng.choice(np.arange(97, 127, dtype=np.uint8), size=800_000, p=probs)
+    a = DeviceCompressedArray.from_array(d, entropy=True)
+    p = DeviceCompressedArray.from_array(d)
+    assert a._entropy is not None
+    assert a.memory_footprint() < p.memory_footprint()
+    assert np.array_equal(a.to_array(), d)
+    # slab reads slice the covering entropy blocks
+    assert np.array_equal(
+        np.asarray(a.slab(2)).view(np.uint8),
+        d[2 * a.slab_bytes : 3 * a.slab_bytes])
+    assert int(a[123_456]) == int(d[123_456])
+    # serialize -> a plain stenos frame carrying the block-codec stage
+    blob = a.serialize()
+    import stenos_tpu as st
+
+    assert st.decompress(blob, 1).tobytes() == d.tobytes()
+    back = DeviceCompressedArray.deserialize(blob, np.uint8)
+    assert np.array_equal(back.to_array(), d)
+
+
+def test_entropy_container_bails_when_unprofitable(rng):
+    """The stage must switch itself off when huffman can't beat the plain
+    record store (block-codec residuals are usually near-uniform)."""
+    from stenos_tpu.device_container import DeviceCompressedArray
+
+    d = np.cumsum(rng.normal(0, 80, 200_000)).astype("<i4")
+    a = DeviceCompressedArray.from_array(d, entropy=True)
+    assert a._entropy is None
+    assert np.array_equal(a.to_array(), d)
