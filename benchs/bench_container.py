@@ -56,6 +56,37 @@ def main():
     t("deserialize (adopt)", lambda: CompressedArray.deserialize(
         blob, np.int32, level=args.level))
 
+    # const_apply (read-only scan: no recompression on eviction)
+    t("const_apply (scan)", lambda: v.const_apply(lambda c: None))
+    # structural edits (chunk-streamed O(distance-to-end))
+    t("insert 1k mid", lambda: v.insert(args.n // 2,
+                                        np.arange(1000, dtype=np.int32)))
+    t("erase 1k mid", lambda: v.erase(args.n // 2, args.n // 2 + 1000))
+
+    # ---- DeviceCompressedArray (HBM-resident mode) ----------------------
+    try:
+        import jax
+
+        from stenos_tpu.device_container import DeviceCompressedArray
+
+        print(f"\n  DeviceCompressedArray ({jax.devices()[0]}):")
+        d = t("from_array (encode+index)",
+              lambda: DeviceCompressedArray.from_array(data))
+        print(f"{'effective ratio (w/ index)':>28}: "
+              f"{d.current_compression_ratio():9.2f}")
+        t("to_array (device decode)", d.to_array)
+        t("100 slab reads", lambda: [
+            jax.block_until_ready(d.slab(int(i) % max(d.n_slabs, 1)))
+            for i in range(100)])
+        e = t("from_array entropy=True",
+              lambda: DeviceCompressedArray.from_array(data, entropy=True))
+        print(f"{'entropy stage engaged':>28}: "
+              f"{str(e._entropy is not None):>9}")
+        print(f"{'effective ratio':>28}: "
+              f"{e.current_compression_ratio():9.2f}")
+    except Exception as ex:  # no accelerator: host modes only
+        print(f"  (device container skipped: {type(ex).__name__})")
+
 
 if __name__ == "__main__":
     main()

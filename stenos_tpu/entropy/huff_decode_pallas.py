@@ -130,19 +130,25 @@ def make_decode_kernel(R: int):
         kcol = _iota((S, K), 1)
         rloc0 = rcol - (lob << 3)      # bit cursor local to window (S, 1)
 
-        UNROLL = 8  # amortize fori_loop control overhead; VMEM stays ~10 MB
+        # GROUP symbols: every 16 symbols a 32-byte LOCAL chunk is rotated
+        # out of the 192-byte window (16 symbols span <= 187 bits), so the
+        # per-symbol dynamic byte reads reduce over 32 lanes, not 192 —
+        # the bulk of the state machine's vector cost
+        GROUP = 16
+        CW = 32
+        sub32 = _iota((S, CW), 1)
 
-        def one(rloc):
+        def one(rloc, chunk, cb):
             # lookahead window may hang below bit 0 near the stream bottom:
             # clamp and LEFT-align so the code's MSB always sits at bit 10
             lo = jnp.maximum(rloc - 11, 0)
-            bidx = lo >> 3             # (S, 1): lowest byte of the window
+            bidx = jnp.clip((lo >> 3) - cb, 0, CW - 3)
             sh = lo & 7
-            b0 = jnp.sum(jnp.where(sub == bidx, win, 0), axis=1,
+            b0 = jnp.sum(jnp.where(sub32 == bidx, chunk, 0), axis=1,
                          keepdims=True)
-            b1 = jnp.sum(jnp.where(sub == bidx + 1, win, 0), axis=1,
+            b1 = jnp.sum(jnp.where(sub32 == bidx + 1, chunk, 0), axis=1,
                          keepdims=True)
-            b2 = jnp.sum(jnp.where(sub == bidx + 2, win, 0), axis=1,
+            b2 = jnp.sum(jnp.where(sub32 == bidx + 2, chunk, 0), axis=1,
                          keepdims=True)
             v = b0 | (b1 << 8) | (b2 << 16)
             W = ((v >> sh) << jnp.maximum(11 - rloc, 0)) & 0x7FF
@@ -159,14 +165,22 @@ def make_decode_kernel(R: int):
 
         def step(g, carry):
             rloc, ranks = carry
-            for u in range(UNROLL):
-                ln_v, idx_v = one(rloc)
-                ranks = jnp.where(kcol == g * UNROLL + u, idx_v, ranks)
+            # chunk start byte: covers bits [rloc - 187, rloc) with slack
+            cb = jnp.clip((rloc - 187) >> 3, 0, 192 - CW)  # (S, 1)
+            rot = win
+            for kbit in range(8):
+                bit = 1 << kbit
+                rolled = pltpu.roll(rot, 192 - bit, axis=1)
+                rot = jnp.where((cb & bit) != 0, rolled, rot)
+            chunk = rot[:, :CW]
+            for u in range(GROUP):
+                ln_v, idx_v = one(rloc, chunk, cb)
+                ranks = jnp.where(kcol == g * GROUP + u, idx_v, ranks)
                 rloc = rloc - ln_v
             return rloc, ranks
 
         _, ranks = jax.lax.fori_loop(
-            0, K // UNROLL, step, (rloc0, jnp.zeros((S, K), jnp.int32)))
+            0, K // GROUP, step, (rloc0, jnp.zeros((S, K), jnp.int32)))
 
         # ---- 3. ranks -> symbols (256-select, bulk) ----------------------
         out = jnp.zeros((S, K), jnp.int32)
