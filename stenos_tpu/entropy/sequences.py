@@ -125,10 +125,61 @@ def _channel_plan(codes, default_norm, default_log, max_log):
     return 2, header, lambda: FseEncoder(norm, tl)
 
 
-def encode_sequences(seqs, mode: str = "auto") -> bytes:
+FRESH_REPS = (1, 4, 8)  # frame-start recent-offset registers (RFC 8878)
+
+
+def _recode_repeat_offsets(seqs, reps=FRESH_REPS):
+    """Rewrite raw offset_values (offset + 3) as repeat-offset codes 1-3
+    where the zstd recent-offset registers allow it (RFC 8878
+    §3.1.1.3.2.1.1; update rules mirror libzstd's ZSTD_updateRep). Turns
+    constant-offset streams (runs at offset 1) into an RLE offset channel.
+
+    The registers PERSIST ACROSS BLOCKS within a frame: callers encoding a
+    multi-block frame must pass the running registers and adopt the
+    returned ones. Returns (recoded_seqs, reps_out)."""
+    reps = list(reps)
+    out = []
+    for ll, ofv, ml in seqs:
+        off = ofv - 3
+        if ll != 0:
+            if off == reps[0]:
+                code = 1
+            elif off == reps[1]:
+                code = 2
+            elif off == reps[2]:
+                code = 3
+            else:
+                code = 0
+        else:
+            if off == reps[1]:
+                code = 1
+            elif off == reps[2]:
+                code = 2
+            elif off == reps[0] - 1:
+                code = 3
+            else:
+                code = 0
+        if code == 0:
+            out.append((ll, off + 3, ml))
+            reps = [off, reps[0], reps[1]]
+        else:
+            out.append((ll, code, ml))
+            rep_idx = code - 1 + (1 if ll == 0 else 0)
+            if rep_idx == 1:
+                reps = [reps[1], reps[0], reps[2]]
+            elif rep_idx == 2:
+                reps = [reps[2], reps[0], reps[1]]
+            elif rep_idx == 3:
+                reps = [reps[0] - 1, reps[0], reps[1]]
+    return out, reps
+
+
+def encode_sequences(seqs, mode: str = "auto",
+                     reps=FRESH_REPS) -> bytes:
     """seqs: list of (literal_length, offset_value, match_length) ->
-    sequences section bytes. offset_value = offset + 3 (no repeat-offset
-    encoding — avoids the ll==0 special cases).
+    sequences section bytes. Input offset_value = offset + 3; repeat
+    offsets (codes 1-3) are substituted internally where the recent-offset
+    registers match (constant-offset runs become an RLE offset channel).
 
     mode 'auto' picks Predefined / RLE / FSE_Compressed (custom NCount
     tables) independently per channel; 'predefined' forces mode 0 on all
@@ -148,6 +199,7 @@ def encode_sequences(seqs, mode: str = "auto") -> bytes:
     if n == 0:
         return bytes(out)
 
+    seqs, _ = _recode_repeat_offsets(seqs, reps)
     lls = [s[0] for s in seqs]
     ofs = [s[1] for s in seqs]
     mls = [s[2] for s in seqs]

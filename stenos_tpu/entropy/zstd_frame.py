@@ -85,19 +85,26 @@ def raw_literals_section(data: np.ndarray) -> bytes:
     return hdr.to_bytes(3, "little") + data.tobytes()
 
 
-def encode_block(data: np.ndarray, last: bool) -> bytes:
+def encode_block(data: np.ndarray, last: bool, reps=None):
+    """One zstd block. reps: running repeat-offset registers (they persist
+    across blocks within a frame, RFC 8878); None = frame start.
+    Returns (block_bytes, reps_out)."""
+    from .match import greedy_parse
+    from .sequences import (FRESH_REPS, _recode_repeat_offsets,
+                            encode_sequences, find_run_sequences)
+
+    if reps is None:
+        reps = FRESH_REPS
     n = len(data)
     if n and (data == data[0]).all():
         bh = int(last) | (1 << 1) | (n << 3)
-        return bh.to_bytes(3, "little") + bytes([int(data[0])])
+        return bh.to_bytes(3, "little") + bytes([int(data[0])]), reps
 
     candidates = []
     lit = compress_literals(data)
     if lit is not None:
-        candidates.append(lit + b"\x00")  # literals-only, 0 sequences
-
-    from .match import greedy_parse
-    from .sequences import encode_sequences, find_run_sequences
+        # literals-only, 0 sequences: registers unchanged
+        candidates.append((lit + b"\x00", reps))
 
     for finder in (find_run_sequences, greedy_parse):
         rs = finder(data)
@@ -107,14 +114,17 @@ def encode_block(data: np.ndarray, last: bool) -> bytes:
         lsec = compress_literals(lits)
         if lsec is None:
             lsec = raw_literals_section(lits)
-        candidates.append(lsec + encode_sequences(seqs))
+        _, reps_out = _recode_repeat_offsets(seqs, reps)
+        candidates.append(
+            (lsec + encode_sequences(seqs, reps=reps), reps_out))
 
-    content = min(candidates, key=len) if candidates else None
+    content, reps_out = min(candidates, key=lambda c: len(c[0])) \
+        if candidates else (None, reps)
     if content is None or len(content) >= n:
         bh = int(last) | (0 << 1) | (n << 3)
-        return bh.to_bytes(3, "little") + data.tobytes()
+        return bh.to_bytes(3, "little") + data.tobytes(), reps
     bh = int(last) | (2 << 1) | (len(content) << 3)
-    return bh.to_bytes(3, "little") + content
+    return bh.to_bytes(3, "little") + content, reps_out
 
 
 def tree_descs_batch(lens_all):
@@ -168,6 +178,7 @@ def encode_frame_device(data, interpret: bool = False,
     nfull = n // BLOCK_MAX
     blocks = []
     sc_entries = []
+    reps = None  # repeat-offset registers persist across blocks
     if nfull:
         full = data[: nfull * BLOCK_MAX].reshape(nfull, BLOCK_MAX)
         hist = np.asarray(histogram_device(jnp.asarray(full), interpret))
@@ -208,21 +219,24 @@ def encode_frame_device(data, interpret: bool = False,
             last = (b == nfull - 1) and n == nfull * BLOCK_MAX
             m = metas[b]
             if m is None:
-                blocks.append(encode_block(chunk, last))
+                blk, reps = encode_block(chunk, last, reps)
+                blocks.append(blk)
                 sc_entries.append(None)
                 continue
             _, _, tree = m
             enc = [bytes(wbytes[4 * b + j][: sizes[4 * b + j]])
                    for j in range(4)]
             if any(len(e) > 0xFFFF for e in enc[:3]):
-                blocks.append(encode_block(chunk, last))
+                blk, reps = encode_block(chunk, last, reps)
+                blocks.append(blk)
                 sc_entries.append(None)
                 continue
             jump = b"".join(len(e).to_bytes(2, "little") for e in enc[:3])
             payload = tree + jump + b"".join(enc)
             csize = len(payload)
             if csize + 6 >= BLOCK_MAX:
-                blocks.append(encode_block(chunk, last))
+                blk, reps = encode_block(chunk, last, reps)
+                blocks.append(blk)
                 sc_entries.append(None)
                 continue
             hdr = 2 | (3 << 2) | (BLOCK_MAX << 4) | (csize << 22)
@@ -231,7 +245,8 @@ def encode_frame_device(data, interpret: bool = False,
             blocks.append(bh.to_bytes(3, "little") + content)
             sc_entries.append((lens_all[b], anchors[4 * b : 4 * b + 4]))
     if n > nfull * BLOCK_MAX:
-        blocks.append(encode_block(data[nfull * BLOCK_MAX :], True))
+        blk, reps = encode_block(data[nfull * BLOCK_MAX :], True, reps)
+        blocks.append(blk)
         sc_entries.append(None)
     for blk in blocks:
         out += blk
@@ -256,8 +271,10 @@ def encode_frame_host(data) -> bytes:
         out += (1 | (0 << 1) | (0 << 3)).to_bytes(3, "little")
         return bytes(out)
     pos = 0
+    reps = None
     while pos < n:
         chunk = data[pos : pos + BLOCK_MAX]
         pos += len(chunk)
-        out += encode_block(chunk, pos >= n)
+        blk, reps = encode_block(chunk, pos >= n, reps)
+        out += blk
     return bytes(out)

@@ -50,6 +50,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--full-grid", action="store_true",
+                    help="every bpp 1-16 in the frame grid (hours: each "
+                         "bpp compiles fresh kernel shapes at ~60-90 s on "
+                         "this relay; the closed loop below covers the "
+                         "compiled kernels for all bpp regardless)")
     args = ap.parse_args()
 
     import _oracle as oracle
@@ -61,30 +66,12 @@ def main():
     rng = np.random.default_rng(20260816)
     fails = 0
 
-    bpps = [2, 4] if args.quick else list(range(1, 17))
+    bpps = [2, 4] if args.quick else (
+        list(range(1, 17)) if args.full_grid else [1, 2, 3, 4, 5, 8, 16])
     kinds = ["sorted", "random"] if args.quick else [
         "sorted", "random", "same", "rle", "smallrange"]
     levels = [1, 2] if args.quick else [0, 1, 2, 5, 9]
     sizes = [200_000] if args.quick else [100, 70_001, 400_000]
-
-    for bpp in bpps:
-        for kind in kinds:
-            for nbytes in sizes:
-                data = gen_elements(rng, bpp, nbytes // bpp + 1, kind)
-                data = data[: (nbytes // bpp) * bpp]
-                for level in levels:
-                    mine = fr.compress(
-                        np.frombuffer(data, np.uint8), bpp, level, engine=eng)
-                    ref = oracle.compress(data, bpp, level)
-                    ok_bits = mine == ref
-                    back = fr.decompress(mine, bpp, engine=eng)
-                    ok_rt = bytes(back) == data
-                    ok_x = oracle.decompress(mine, bpp, len(data)) == data
-                    if not (ok_bits and ok_rt and ok_x):
-                        fails += 1
-                        print(f"FAIL bpp={bpp} {kind} n={nbytes} lvl={level}:"
-                              f" bits={ok_bits} rt={ok_rt} oracle={ok_x}")
-        print(f"bpp={bpp}: grid ok")
 
     # device closed loop (encode+index -> derive-index decode), EVERY bpp:
     # compiled-kernel coverage with no XLA fallback on the grid
@@ -134,6 +121,25 @@ def main():
         print("FAIL: reference cannot decode device-entropy frame")
     else:
         print("device entropy interop ok")
+
+    for bpp in bpps:
+        for kind in kinds:
+            for nbytes in sizes:
+                data = gen_elements(rng, bpp, nbytes // bpp + 1, kind)
+                data = data[: (nbytes // bpp) * bpp]
+                for level in levels:
+                    mine = fr.compress(
+                        np.frombuffer(data, np.uint8), bpp, level, engine=eng)
+                    ref = oracle.compress(data, bpp, level)
+                    ok_bits = mine == ref
+                    back = fr.decompress(mine, bpp, engine=eng)
+                    ok_rt = bytes(back) == data
+                    ok_x = oracle.decompress(mine, bpp, len(data)) == data
+                    if not (ok_bits and ok_rt and ok_x):
+                        fails += 1
+                        print(f"FAIL bpp={bpp} {kind} n={nbytes} lvl={level}:"
+                              f" bits={ok_bits} rt={ok_rt} oracle={ok_x}")
+        print(f"bpp={bpp}: grid ok")
 
     print("FAILS:", fails)
     sys.exit(1 if fails else 0)
