@@ -191,9 +191,143 @@ def make_decode_kernel(R: int):
     return kernel
 
 
+def make_decode_kernel_v2(R: int, unroll: bool = True):
+    """Transposed, register-refill decoder — the vector-op-count-bound v1
+    redesigned (NOTES.md round-3 item 1, built):
+
+    - segments live on the LANE axis: every per-segment state op is a
+      (1, S) vector at full lane utilization;
+    - each segment keeps a 64-bit lookahead register pair (lo, hi) over an
+      aligned word window, refilled ONE word per <= 2 symbols (a single
+      sublane select-reduce) instead of three dynamic byte reads per
+      symbol;
+    - code lengths come from counting 11 scalar canonical end-boundaries
+      (len = 11 - #(W >= E_l)) instead of a first-hit select chain.
+    """
+    S = SEGS
+
+    def kernel(sb_ref, anch_ref, tab_ref, out_ref):
+        tab = tab_ref[0]               # (1, 304)
+        r_abs = anch_ref[0].T          # (1, S) absolute bit positions
+
+        # ---- window gather: 3 row-aligned 128-byte rows per segment ------
+        lob = jnp.maximum(r_abs.T - 11 * K, 0) >> 3     # (S, 1) low byte
+        row0 = lob >> 7
+        ridx = row0 + _iota((S, 1, 3), 2).reshape(S, 3)
+        ridx = jnp.minimum(ridx, R - 1)
+        oh = (_iota((S, 3, R), 2) == ridx[:, :, None]).reshape(
+            S * 3, R).astype(jnp.bfloat16)
+        vbf = sb_ref[0].astype(jnp.int32).astype(jnp.bfloat16)  # (R, 128)
+        g = jax.lax.dot_general(
+            oh, vbf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        win = g.astype(jnp.int32).reshape(S, WB)  # row-aligned: no rotate
+        wv = win.T                                 # (384, S) bytes
+        v4 = wv.reshape(96, 4, S)
+        w32 = (v4[:, 0, :] | (v4[:, 1, :] << 8) | (v4[:, 2, :] << 16)
+               | (v4[:, 3, :] << 24))              # (96, S) LE32 words
+
+        ws8 = (row0.T << 10)                       # (1, S) window start bits
+        r = r_abs - ws8                            # window-local bit cursor
+        wsub = _iota((96, S), 0)
+
+        def fetch(widx):
+            """word at per-lane index widx (1, S) from w32."""
+            return jnp.sum(jnp.where(wsub == widx, w32, 0), axis=0,
+                           keepdims=True)
+
+        # initial registers: words [pb, pb+2) cover bits [32pb, 32pb+64)
+        pb = jnp.maximum(-(-(r - 64) // 32), 0)
+        lo = fetch(pb)
+        hi = fetch(jnp.minimum(pb + 1, 95))
+
+        # canonical decode scalars
+        E = []      # end boundary of each length's left-aligned region
+        D = []      # off_l - base_l
+        for l in range(1, 12):
+            base_l = tab[0, l]
+            n_l = tab[0, 12 + l]
+            off_l = tab[0, 24 + l]
+            E.append((base_l + n_l) << (11 - l))
+            D.append(off_l - base_l)
+
+        def one(r, pb, lo, hi):
+            s = r - 11 - (pb << 5)     # lookahead low-bit offset in reg
+            sc = jnp.clip(s, 0, 53)
+            Wn = jnp.where(
+                sc >= 32, hi >> (sc - 32),
+                (jax.lax.shift_right_logical(lo, sc)
+                 | ((hi << (31 - sc)) << 1)))
+            rc = jnp.clip(r, 0, 11)
+            Wb = (lo & ((1 << rc) - 1)) << (11 - rc)  # bottom: left-align
+            W = jnp.where(r >= 11, Wn, Wb) & 0x7FF
+            cnt = jnp.zeros((1, S), jnp.int32)
+            for l in range(11):
+                cnt = cnt + (W >= E[l]).astype(jnp.int32)
+            ln = 11 - cnt
+            cand = W >> (11 - ln)
+            dd = jnp.zeros((1, S), jnp.int32)
+            for l in range(11):
+                dd = jnp.where(ln == l + 1, D[l], dd)
+            return ln, cand + dd
+
+        def pair(carry):
+            """two symbols + one refill check (symbols consume <= 22 bits,
+            the register holds >= 33 after a refill)."""
+            r, pb, lo, hi = carry
+            need = (pb > 0) & ((pb << 5) > r - 33)
+            pbn = pb - 1
+            nlo = fetch(jnp.maximum(pbn, 0))
+            pb = jnp.where(need, pbn, pb)
+            hi = jnp.where(need, lo, hi)
+            lo = jnp.where(need, nlo, lo)
+            ln0, idx0 = one(r, pb, lo, hi)
+            r = r - ln0
+            ln1, idx1 = one(r, pb, lo, hi)
+            r = r - ln1
+            return (r, pb, lo, hi), idx0, idx1
+
+        if unroll:
+            # fully unrolled: per-symbol state is a handful of (1, S)
+            # vectors, so (unlike v1's (S, 192) masks) the live set stays
+            # small and every ranks write is a static concat row
+            cols = []
+            carry = (r, pb, lo, hi)
+            for k in range(K // 2):
+                carry, idx0, idx1 = pair(carry)
+                cols += [idx0, idx1]
+            ranks = jnp.concatenate(cols, axis=0)  # (K, S)
+        else:
+            # fori variant: fast to trace/compile (interpret-mode tests)
+            kcol = _iota((K, S), 0)
+
+            def step(k2, st):
+                carry, ranks = st
+                carry, idx0, idx1 = pair(carry)
+                ranks = jnp.where(kcol == 2 * k2, idx0, ranks)
+                ranks = jnp.where(kcol == 2 * k2 + 1, idx1, ranks)
+                return carry, ranks
+
+            _, ranks = jax.lax.fori_loop(
+                0, K // 2, step,
+                ((r, pb, lo, hi), jnp.zeros((K, S), jnp.int32)))
+
+        # ---- ranks -> symbols (256-select, bulk) -------------------------
+        out = jnp.zeros((K, S), jnp.int32)
+        for sym in range(256):
+            out = jnp.where(ranks == sym, tab[0, 40 + sym], out)
+        out_ref[0] = out.T
+
+    return kernel
+
+
 @lru_cache(maxsize=16)
-def _decode_call(ns: int, R: int, interpret: bool):
-    kernel = make_decode_kernel(R)
+def _decode_call(ns: int, R: int, interpret: bool, v: int = 1):
+    # unroll=False everywhere: measured identical to the full unroll on
+    # TPU (the remaining cost is the per-symbol op chain), and the fori
+    # form traces/compiles an order of magnitude faster
+    kernel = make_decode_kernel_v2(R, unroll=False) if v == 2 \
+        else make_decode_kernel(R)
     return pl.pallas_call(
         kernel,
         grid=(ns,),
@@ -213,7 +347,7 @@ def _decode_call(ns: int, R: int, interpret: bool):
 
 
 def decode_streams_device(stream_bytes, anchors, tables,
-                          interpret: bool = False):
+                          interpret: bool = False, v: int = 2):
     """stream_bytes (ns, R*128) uint8 (huffman bitstreams, zero-padded);
     anchors (ns, 256) int32 — bit read-position of segment g's first symbol
     (anchors[g] = incl_bits at emission index STREAM-1-g*K; the encoder's
@@ -221,7 +355,7 @@ def decode_streams_device(stream_bytes, anchors, tables,
     decode_tables. Returns (ns, 32768) int32 symbols."""
     ns = stream_bytes.shape[0]
     R = stream_bytes.shape[1] // 128
-    call = _decode_call(ns, R, interpret)
+    call = _decode_call(ns, R, interpret, v)
     out = call(
         stream_bytes.reshape(ns, R, 128),
         anchors.reshape(ns, SEGS, 1),
