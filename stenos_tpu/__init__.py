@@ -37,10 +37,22 @@ def default_engine():
         pass
     return None
 
+def compress_sharded(data, bytesoftype: int, level: int = 1, mesh=None,
+                     interpret: bool = False) -> bytes:
+    """Multi-chip frame compression over a device mesh (see
+    parallel/api.py); also reachable as compress(..., mesh=mesh)."""
+    from .parallel.api import compress_sharded as _cs
+
+    return _cs(data, bytesoftype, level, mesh, interpret)
+
+
 __all__ = [
     "CompressedArray",
     "DeviceCompressedArray",
+    "Context",
     "compress",
+    "compress_generic",
+    "compress_sharded",
     "decompress",
     "get_info",
     "compress_bound",

@@ -452,13 +452,24 @@ def _timed_rounds(ctx, data, bpp: int, dst_size: int, sb: int, out, pos):
 
 
 def compress(data, bytesoftype: int, level: int = 1, dst_size=None,
-             engine=None, custom_shift=None, entropy=None) -> bytes:
+             engine=None, custom_shift=None, entropy=None,
+             mesh=None) -> bytes:
     """stenos_compress equivalent. data: bytes / 1D uint8 array.
 
     engine: None = host path; a JaxEngine instance = device path;
     "auto" = device when an accelerator is present AND the input is large
     enough to amortize dispatch latency (the TPU analog of the reference's
-    CPUID runtime dispatch, simd.h:199-258)."""
+    CPUID runtime dispatch, simd.h:127-258).
+
+    mesh: a jax.sharding.Mesh routes the whole compress through the
+    multi-chip sharded path (parallel/api.py) — superblocks data-parallel
+    across the mesh, collective offset prefix-sum, in-HBM frame assembly;
+    the multi-device translation of the reference's thread-pool fan-out
+    (stenos.cpp:909-1016)."""
+    if mesh is not None:
+        from .parallel.api import compress_sharded
+
+        return compress_sharded(data, bytesoftype, level, mesh)
     if engine == "auto":
         engine = None
         if len(data) >= 4 * 1024 * 1024:

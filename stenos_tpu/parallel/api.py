@@ -78,7 +78,7 @@ def compress_device_sharded(data, bpp: int, level: int = 1,
 
 def compress_sharded(data, bpp: int, level: int = 1,
                      mesh: Mesh | None = None,
-                     interpret: bool = False) -> bytes:
+                     interpret: bool | None = None) -> bytes:
     """Whole-input sharded compress -> complete frame bytes on host.
 
     data: 1-D bytes/uint8 array. Superblock sizing follows the frame layer
@@ -89,6 +89,8 @@ def compress_sharded(data, bpp: int, level: int = 1,
     """
     from .. import frame as fr
 
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     if isinstance(data, (bytes, bytearray, memoryview)):
         data = np.frombuffer(bytes(data), np.uint8)
     data = np.ascontiguousarray(data).view(np.uint8).reshape(-1)

@@ -90,3 +90,17 @@ def test_sharded_pallas_encode_matches_single(rng):
         assert bytes(rows[i][: tot_s[i]]) == want, i
     assert (np.asarray(bs_s) == np.asarray(bs_1)).all()
     assert (np.asarray(fs_s) == np.asarray(fs_1)).all()
+
+
+def test_public_mesh_compress(rng):
+    """st.compress(..., mesh=) routes through the sharded production path
+    and the result decodes like any frame (+ tail handling)."""
+    import stenos_tpu as st
+    from stenos_tpu.parallel import make_mesh
+
+    from conftest import gen_elements
+
+    data = gen_elements(rng, 4, (8 * 131072 + 5000) // 4, "sorted")
+    mesh = make_mesh(4)
+    frame = st.compress(data, 4, 1, mesh=mesh)
+    assert st.decompress(frame, 4).tobytes() == data
