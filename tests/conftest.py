@@ -51,7 +51,7 @@ def gen_elements(rng, bpp, nelem, kind):
         raise ValueError(kind)
     if bpp in (1, 2, 4, 8):
         return a.astype(f"<u{bpp}").tobytes()
-    return b"".join(int(v).to_bytes(8, "little")[:bpp] for v in a)
+    return b"".join(int(v).to_bytes(16, "little")[:bpp] for v in a)
 
 
 @pytest.fixture

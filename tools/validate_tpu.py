@@ -38,7 +38,7 @@ def gen_elements(rng, bpp, nelem, kind):
         a = rng.integers(1000, 1032, nelem)
     if bpp in (1, 2, 4, 8):
         return a.astype(f"<u{bpp}").tobytes()
-    return b"".join(int(v).to_bytes(8, "little")[:bpp] for v in a)
+    return b"".join(int(v).to_bytes(16, "little")[:bpp] for v in a)
 
 import jax
 
@@ -50,6 +50,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--loop-from", type=int, default=1,
+                    help="resume the closed-loop sweep at this bpp")
     ap.add_argument("--full-grid", action="store_true",
                     help="every bpp 1-16 in the frame grid (hours: each "
                          "bpp compiles fresh kernel shapes at ~60-90 s on "
@@ -75,7 +77,7 @@ def main():
 
     # device closed loop (encode+index -> derive-index decode), EVERY bpp:
     # compiled-kernel coverage with no XLA fallback on the grid
-    for bpp in ([4] if args.quick else list(range(1, 17))):
+    for bpp in ([4] if args.quick else list(range(args.loop_from, 17))):
         block = 256 * bpp
         nb = max(1, min(128, 131072 // block))
         sb = nb * block
