@@ -113,3 +113,31 @@ def test_sidecar_roundtrip(rng):
     assert entries is not None and entries[0] is None
     l2, a2 = entries[1]
     assert (l2 == lens).all() and (a2 == anchors).all()
+
+
+def test_device_entropy_decode_transposed_methods(rng):
+    """Methods 3/4 (TRANSPOSED[_DELTA]_ZSTD) through the device entropy
+    ladder: kernel-decode the literals, then device/host unshuffle +
+    delta_inv (stenos.cpp:700-725 dispatch)."""
+    import stenos_tpu as st
+    from stenos_tpu import frame as fr
+    from stenos_tpu.engine_jax import JaxEngine
+    from stenos_tpu.entropy.zstd_frame import encode_frame_device
+    from stenos_tpu.ops.delta import delta_np
+    from stenos_tpu.ops.shuffle import shuffle_np
+
+    bpp = 4
+    sb = 131072
+    raw = rng.normal(120, 14, sb).clip(0, 255).astype(np.uint8)
+    for method, xform in ((3, lambda d: shuffle_np(d, bpp)),
+                          (4, lambda d: delta_np(shuffle_np(raw, bpp)))):
+        content = xform(raw)
+        payload = encode_frame_device(np.asarray(content, np.uint8),
+                                      interpret=True)
+        frame = bytes([0]) + sb.to_bytes(7, "little") \
+            + bytes([method]) + len(payload).to_bytes(3, "little") + payload
+        # host ladder and device ladder agree with the original bytes
+        assert bytes(fr.decompress(frame, bpp, engine=None)) \
+            == raw.tobytes(), method
+        out = fr.decompress(frame, bpp, engine=JaxEngine())
+        assert bytes(memoryview(np.asarray(out))) == raw.tobytes(), method
