@@ -342,20 +342,29 @@ class CompressedArray:
 
     # ------------------------------------------------------- bulk operations
     def _apply(self, fn, start, stop, mutate: bool, backward: bool):
-        stop = self._size if stop is None else min(stop, self._size)
+        # each span is computed UNDER the lock just before it is visited, so
+        # concurrent erase/resize between chunks shrinks the scan instead of
+        # racing it (buckets appended mid-scan are intentionally not visited:
+        # the limit is pinned at entry, matching cvector's for_each contract)
+        with self._lock:
+            limit = self._size if stop is None else min(stop, self._size)
         visited = 0
-        spans = []
-        pos = start
-        while pos < stop:
-            i = pos // self.chunk_elems
-            off = pos % self.chunk_elems
-            end = min(stop - i * self.chunk_elems, self._bucket_len(i))
-            spans.append((i, off, end))
-            pos = (i + 1) * self.chunk_elems
-        if backward:
-            spans.reverse()
-        for i, off, end in spans:
+        # remaining range is [pos, pos_end); one bucket per iteration
+        pos, pos_end = start, limit
+        while pos < pos_end:
+            i = (pos_end - 1 if backward else pos) // self.chunk_elems
             with self._lock:
+                cur = self._size if stop is None else min(stop, self._size)
+                pos_end = min(pos_end, cur)
+                if pos >= pos_end or i >= len(self._buckets):
+                    i = (pos_end - 1 if backward else pos) // self.chunk_elems
+                    if pos >= pos_end or i >= len(self._buckets):
+                        break
+                base = i * self.chunk_elems
+                off = max(pos - base, 0)
+                end = min(pos_end - base, self._bucket_len(i))
+                if end <= off:
+                    break
                 view = self._raw(i)[off:end]
                 if not mutate:
                     view.setflags(write=False)
@@ -367,6 +376,10 @@ class CompressedArray:
             visited += end - off
             if r is False:
                 break
+            if backward:
+                pos_end = base
+            else:
+                pos = base + self.chunk_elems
         return visited
 
     def apply(self, fn, start: int = 0, stop: int | None = None):

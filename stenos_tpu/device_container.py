@@ -167,8 +167,11 @@ class DeviceCompressedArray:
             rows[i, 4 : 4 + v] = vbufs[i, :v]
             totals[i] = v + 4
             records.append(frame[offs[i] - 4 : offs[i] + csizes[i]])
+        # rebase only the low 24 offset bits: bits 24+ carry the plane code
+        po = (((plane_off & 0xFFFFFF) + 4) | (plane_off & ~0xFFFFFF)).astype(
+            np.int32)
         self = cls(dtype, sb, dsize, jnp.asarray(rows), totals,
-                   jnp.asarray(plane_off + 4), tail, "bj")
+                   jnp.asarray(po), tail, "bj")
         self._records = records
         return self
 
@@ -312,15 +315,20 @@ class _EntropyStore:
 
     def __init__(self, words, sizes, anchors, tabs, flags, raw, offs,
                  totals, rb):
-        self.words = words        # (nblk*4, wbucket/4) int32, device
-        self.sizes = sizes        # (nblk*4,) host
-        self.anchors = anchors    # (nblk*4, 256) int32, device
-        self.tabs = tabs          # (nblk*4, 304) int32, device
+        # words/sizes/anchors/tabs hold rows for CODED blocks only (4
+        # streams per coded block, in block order); raw-flagged blocks live
+        # exclusively in self.raw
+        self.words = words        # (ncoded*4, wbucket/4) int32, device
+        self.sizes = sizes        # (ncoded*4,) host
+        self.anchors = anchors    # (ncoded*4, 256) int32, device
+        self.tabs = tabs          # (ncoded*4, 304) int32, device
         self.flags = flags        # (nblk,) host bool: 1 = huffman-coded
         self.raw = raw            # dict blk -> (BLOCK,) uint8 device
         self.offs = offs          # (n_slabs,) host record offsets
         self.totals = totals      # (n_slabs,) host record lengths
         self.rb = rb
+        # block index -> row group in the packed arrays
+        self._packed = {int(b): j for j, b in enumerate(np.flatnonzero(flags))}
 
     @classmethod
     def pack(cls, rows, totals, rb):
@@ -367,19 +375,24 @@ class _EntropyStore:
             raw[b] = blocks[b]
         if not flags.any():
             return None
-        tabs = np.zeros((nblk * 4, 304), np.int32)
-        for b in range(nblk):
-            if flags[b]:
-                t = decode_tables(lens_all[b])
-                tabs[4 * b : 4 * b + 4] = t[0]
-        wbucket = -(-int(sizes[np.repeat(flags, 4)].max()) // 512) * 512
-        words = jnp.asarray(words[:, : wbucket // 4])
-        store = cls(words, sizes, jnp.asarray(anchors),
+        # keep only the coded blocks' rows in HBM: raw-flagged blocks are
+        # served from self.raw, so their word/anchor/table rows would be
+        # dead weight in the footprint and the profitability test
+        coded = np.flatnonzero(flags)
+        ridx = (coded[:, None] * 4 + np.arange(4)).reshape(-1)
+        tabs = np.zeros((len(coded) * 4, 304), np.int32)
+        for j, b in enumerate(coded):
+            t = decode_tables(lens_all[b])
+            tabs[4 * j : 4 * j + 4] = t[0]
+        wbucket = -(-int(sizes[ridx].max()) // 512) * 512
+        words = jnp.asarray(words[ridx, : wbucket // 4])
+        store = cls(words, sizes[ridx], jnp.asarray(anchors)[ridx],
                     jnp.asarray(tabs), flags, raw, offs, totals, rb)
         # the whole stage must beat the plain record store, or it's off
         plain_bytes = int(rows.shape[0]) * int(rows.shape[1])
         ours = (int(words.shape[0]) * int(words.shape[1]) * 4
-                + anchors.size * 4 + tabs.size * 4 + len(raw) * cls.BLOCK)
+                + store.anchors.size * 4 + tabs.size * 4
+                + len(raw) * cls.BLOCK)
         if ours >= plain_bytes:
             return None
         return store
@@ -390,18 +403,28 @@ class _EntropyStore:
 
         from .entropy.huff_decode_pallas import decode_streams_device
 
-        w = self.words[4 * b0 : 4 * b1]
-        ns = w.shape[0]
-        wbytes = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(ns, -1)
-        syms = decode_streams_device(
-            wbytes, self.anchors[4 * b0 : 4 * b1],
-            self.tabs[4 * b0 : 4 * b1], _interp())
-        out = syms.astype(jnp.uint8).reshape(b1 - b0, self.BLOCK)
+        coded = [b for b in range(b0, b1) if self.flags[b]]
+        dec = None
+        if coded:
+            ridx = np.asarray([4 * self._packed[b] + k for b in coded
+                               for k in range(4)])
+            w = self.words[ridx]
+            ns = w.shape[0]
+            wbytes = jax.lax.bitcast_convert_type(w, jnp.uint8).reshape(
+                ns, -1)
+            syms = decode_streams_device(
+                wbytes, self.anchors[ridx], self.tabs[ridx], _interp())
+            dec = syms.astype(jnp.uint8).reshape(len(coded), self.BLOCK)
+        parts = []
+        j = 0
         for b in range(b0, b1):
-            if not self.flags[b]:
-                out = out.at[b - b0].set(self.raw[b])
-        return jnp.concatenate(
-            [out.reshape(-1), jnp.zeros(self.rb, jnp.uint8)])
+            if self.flags[b]:
+                parts.append(dec[j])
+                j += 1
+            else:
+                parts.append(self.raw[b])
+        parts.append(jnp.zeros(self.rb, jnp.uint8))
+        return jnp.concatenate([p.reshape(-1) for p in parts])
 
     def slab_vbufs(self, s0: int, s1: int):
         """Reassemble records for slabs [s0, s1) -> (s1-s0, rb) uint8."""

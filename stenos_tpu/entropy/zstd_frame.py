@@ -2,9 +2,10 @@
 
 Host/numpy reference implementation of the TPU entropy stage's format layer
 (the device kernel in huff_pallas.py produces the same bitstreams for the
-bulk path). No sequences yet — every block is literals-only — so output is
-plain standard zstd, decodable by libzstd and by the C++ reference's
-decompressor (zstd_wrapper.h), at entropy-only compression ratios.
+bulk path). Blocks carry Huffman-coded literals AND full LZ77 sequences
+(encode_block below: match finding + greedy parse + FSE-coded
+LL/OF/ML streams), so output is plain standard zstd, decodable by libzstd
+and by the C++ reference's decompressor (zstd_wrapper.h).
 """
 
 import numpy as np

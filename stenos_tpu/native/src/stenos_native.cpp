@@ -1148,6 +1148,10 @@ EXPORT ptrdiff_t stn_parse_rows_batch(
             if (marker == 252 || marker == 253) {  // COPY / LZ -> inline
                 const size_t keep = (size_t)(pos - seg);
                 if (vpos + keep + block_size > row_bytes) return ERR_INPUT;
+                // the packed plane index keeps codes in bits 24+; virtual
+                // offsets must stay within 24 bits (LZ inlining can grow the
+                // virtual stream past csize) — fall back to host decode if not
+                if (vpos + keep + block_size > 0xFFFFFF) return ERR_INPUT;
                 std::memcpy(vb + vpos, src + seg, keep);
                 vpos += keep;
                 ++pos;
@@ -1180,6 +1184,10 @@ EXPORT ptrdiff_t stn_parse_rows_batch(
             const uint8_t* codes = src + pos;
             const int64_t vdelta = (int64_t)vpos - seg;
             pos += hdr_w;
+            // 24-bit bound for packed offsets (see the inline-plane case);
+            // a block advances pos by at most hdr_w + bpp*257 < block_size+512
+            if (pos + vdelta + (int64_t)block_size + 512 > 0xFFFFFF)
+                return ERR_INPUT;
             for (size_t p = 0; p < bpp; ++p) {
                 const int code = (codes[p >> 1] >> (4 * (p & 1))) & 15;
                 const size_t pg = b * bpp + p;

@@ -71,7 +71,13 @@ print(f"worker {pid} done", flush=True)
 @pytest.mark.skipif(os.environ.get("STENOS_SKIP_DISTRIBUTED") == "1",
                     reason="explicitly disabled")
 def test_two_process_distributed_compress(tmp_path):
-    port = 29511
+    # ephemeral port: concurrent runs (parallel CI jobs on one runner) must
+    # not collide on a hardcoded coordinator port
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     out = tmp_path / "frame.bin"
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
