@@ -38,12 +38,20 @@ def default_engine():
     return None
 
 def compress_sharded(data, bytesoftype: int, level: int = 1, mesh=None,
-                     interpret: bool = False) -> bytes:
+                     interpret: bool | None = None) -> bytes:
     """Multi-chip frame compression over a device mesh (see
     parallel/api.py); also reachable as compress(..., mesh=mesh)."""
     from .parallel.api import compress_sharded as _cs
 
     return _cs(data, bytesoftype, level, mesh, interpret)
+
+
+def decompress_sharded(frame, bytesoftype: int, mesh=None):
+    """Multi-chip frame decompression over a device mesh (see
+    parallel/api.py); also reachable as decompress(..., mesh=mesh)."""
+    from .parallel.api import decompress_sharded as _ds
+
+    return _ds(frame, bytesoftype, mesh)
 
 
 __all__ = [
@@ -54,6 +62,7 @@ __all__ = [
     "compress_generic",
     "compress_sharded",
     "decompress",
+    "decompress_sharded",
     "get_info",
     "compress_bound",
     "super_block_size",

@@ -469,7 +469,8 @@ def compress(data, bytesoftype: int, level: int = 1, dst_size=None,
     if mesh is not None:
         from .parallel.api import compress_sharded
 
-        return compress_sharded(data, bytesoftype, level, mesh)
+        return compress_sharded(data, bytesoftype, level, mesh,
+                                entropy=entropy)
     if engine == "auto":
         engine = None
         if len(data) >= 4 * 1024 * 1024:
@@ -612,14 +613,26 @@ def decompress_superblock(code, payload, bpp, dsize, engine=None):
     raise StenosError(ERROR_INVALID_INPUT)
 
 
-def decompress(frame, bytesoftype: int, dst_size=None, engine=None):
+def decompress(frame, bytesoftype: int, dst_size=None, engine=None,
+               mesh=None):
     """stenos_decompress equivalent -> uint8 array.
+
+    mesh: a jax.sharding.Mesh fans the decode out over the mesh
+    (parallel/api.decompress_sharded) — the multi-device translation of the
+    reference's decompression thread pool (stenos.cpp:1151-1202).
 
     Note: unlike the reference (stenos.cpp:1131 latent bug), inputs whose
     size is an exact multiple of the superblock size decode correctly.
     """
     if bytesoftype == 0 or bytesoftype >= MAX_BYTESOFTYPE:
         raise StenosError(ERROR_INVALID_BYTESOFTYPE)
+    if mesh is not None:
+        from .parallel.api import decompress_sharded
+
+        r = decompress_sharded(frame, bytesoftype, mesh)
+        if dst_size is not None and len(r) > dst_size:
+            raise StenosError(ERROR_DST_OVERFLOW)
+        return r
     frame = np.frombuffer(bytes(frame), np.uint8) if not isinstance(
         frame, np.ndarray) else frame
     if engine == "auto":

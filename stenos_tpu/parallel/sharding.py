@@ -52,24 +52,33 @@ def encode_superblocks_sharded(mesh: Mesh, data, bpp: int,
     return jax.jit(f)(data)
 
 
-def decode_blocks_sharded(mesh: Mesh, buf_per_dev, plane_off, row_rel,
-                          row_hdr, row_min, bpp: int, nb_per_dev: int,
-                          axis: str = "chunks"):
-    """Decode equal per-device slices of row-parsed blocks (buf already
-    padded to equal per-device lengths; plane offsets local to each device's
-    buf slice)."""
-    Pn = nb_per_dev * bpp
+def decode_slabs_sharded(mesh: Mesh, vbufs, plane_off, rowtab, bpp: int,
+                         snb: int, axis: str = "chunks",
+                         interpret: bool = False):
+    """Mesh-parallel slab decode: shard the (n_rows, row_bytes) virtual
+    payloads (from the C++ batch row parser) over the mesh and run the
+    decode kernel locally on each chip's slice — the decompression fan-out
+    of the reference's thread pool (stenos.cpp:1151-1202). n_rows must be a
+    multiple of the mesh size (callers pad by repeating the last row).
 
-    def local(buf, po, rel, rh, rm):
-        return decode_rows_jit(buf[0], po[0], rel[0], rh[0], rm[0], Pn)[None]
+    Returns the decoded words with the same global leading axis, sharded
+    until consumed."""
+    from ..ops.decode_pallas import decode_slabs_body
+
+    def local(vb, po, rt):
+        return decode_slabs_body(vb, po, rt, bpp, snb, interpret)
 
     f = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis)),
         out_specs=P(axis),
+        check_vma=False,
     )
-    return jax.jit(f)(buf_per_dev, plane_off, row_rel, row_hdr, row_min)
+    sharding = NamedSharding(mesh, P(axis))
+    args = [jax.device_put(np.ascontiguousarray(x), sharding)
+            for x in (vbufs, plane_off, rowtab)]
+    return jax.jit(f)(*args)
 
 
 def encode_slabs_sharded(mesh: Mesh, data, bpp: int, block_level: int = 2,

@@ -104,3 +104,44 @@ def test_public_mesh_compress(rng):
     mesh = make_mesh(4)
     frame = st.compress(data, 4, 1, mesh=mesh)
     assert st.decompress(frame, 4).tobytes() == data
+
+
+@needs_mesh
+@pytest.mark.parametrize("level", [1, 2, 5])
+@pytest.mark.parametrize("kind", ["sorted", "random", "rle"])
+def test_mesh_compress_bytes_equal_single_chip(rng, level, kind):
+    """compress(..., mesh=...) runs the FULL decision tree (method
+    selection + zstd entropy stage) per superblock, so the mesh frame is
+    byte-identical to the single-chip frame at every level — the reference
+    thread pool parallelizes all methods (stenos.cpp:909-1016)."""
+    import stenos_tpu as st
+    from stenos_tpu import frame as fr
+    from stenos_tpu.parallel import make_mesh
+
+    bpp = 4
+    # 3.25 superblocks at the level's standard superblock size: exercises
+    # the sharded grid, the non-multiple remainder and the partial tail
+    sb, _ = fr._superblock_params(bpp, 1 << 22, level)
+    data = gen_elements(rng, bpp, (3 * sb + sb // 4) // bpp, kind)
+    mesh = make_mesh(8)
+    sharded = st.compress(data, bpp, level, mesh=mesh)
+    single = fr.compress(data, bpp, level)
+    assert sharded == single, (level, kind)
+    assert st.decompress(sharded, bpp).tobytes() == data
+
+
+@needs_mesh
+@pytest.mark.parametrize("level", [1, 2])
+def test_mesh_decompress(rng, level):
+    """decompress(..., mesh=...) fans the decode out over the mesh
+    (all-BLOCK frames take the sharded kernel path; mixed-method frames
+    fall back per record) and matches the input bit-exactly."""
+    import stenos_tpu as st
+    from stenos_tpu.parallel import make_mesh
+
+    bpp = 4
+    data = gen_elements(rng, bpp, (6 * 131072 + 7000) // bpp, "sorted")
+    mesh = make_mesh(8)
+    frame = st.compress(data, bpp, level)
+    out = st.decompress(frame, bpp, mesh=mesh)
+    assert out.tobytes() == data
