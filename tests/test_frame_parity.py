@@ -13,20 +13,32 @@ import _oracle as oracle
 from conftest import gen_elements
 
 
-GRID = [
-    (bpp, ne, kind, level)
-    for kind in ["sorted", "random", "same", "rle", "smallrange"]
-    for bpp in [1, 2, 3, 4, 8, 12]
-    for ne in [0, 1, 100, 5000, 70001]
-    for level in [0, 1, 2, 5, 9]
-]
+# full element-size sweep like the reference (tests_comp_decomp.cpp:181-216
+# sweeps 1-15; we add 16): the format's interesting corners live at the odd
+# widths (5,6,7,9,10,11,13,14,15)
+ALL_BPP = list(range(1, 17))
 
 
 @pytest.mark.parametrize("kind", ["sorted", "random", "same", "rle", "smallrange"])
-@pytest.mark.parametrize("bpp", [1, 2, 3, 4, 8, 12])
+@pytest.mark.parametrize("bpp", ALL_BPP)
 def test_frame_bit_exact(rng, kind, bpp):
     for ne in [0, 1, 100, 5000, 70001]:
         for level in [0, 1, 2, 5, 9]:
+            data = gen_elements(rng, bpp, ne, kind)
+            ref = oracle.compress(data, bpp, level)
+            mine = st.compress(data, bpp, level)
+            assert mine == ref, (kind, bpp, ne, level)
+            assert st.decompress(ref, bpp).tobytes() == data
+            assert oracle.decompress(mine, bpp, len(data)) == data
+
+
+@pytest.mark.parametrize("level", [3, 4, 6, 7, 8])
+@pytest.mark.parametrize("bpp", ALL_BPP)
+def test_frame_bit_exact_mid_levels(rng, level, bpp):
+    """Mid levels exercise the superblock shift growth, the transposed-LZ
+    estimators and the higher zstd levels of the decision tree."""
+    for kind in ["sorted", "random", "rle"]:
+        for ne in [5000, 70001]:
             data = gen_elements(rng, bpp, ne, kind)
             ref = oracle.compress(data, bpp, level)
             mine = st.compress(data, bpp, level)
