@@ -1,46 +1,30 @@
-"""Device-side decompression of sidecar-equipped zstd entropy payloads.
+"""Device-side decompression of zstd entropy payloads.
 
 Covers the entropy half of methods ZSTD / TRANSPOSED_ZSTD /
-TRANSPOSED_DELTA_ZSTD for payloads produced by encode_frame_device with
-the anchor sidecar: the host walks only the frame/block/section HEADERS
-(O(metadata)), the huffman bitstreams decode on the TPU
-(huff_decode_pallas), and the result stays in HBM for the follow-on device
-unshuffle / delta_inv. Payloads without a sidecar (libzstd-produced,
-sequence blocks, tail blocks) return None and the caller falls back to
-host libzstd — the graceful-degradation ladder of stenos.cpp:681-753.
+TRANSPOSED_DELTA_ZSTD (and method-5 residuals). Two tiers:
+
+1. Literals-only sidecar frames (the common output of
+   encode_frame_device): all-device — the host walks only the
+   frame/block/section headers (O(metadata)) and the Huffman bitstreams
+   decode on the TPU (huff_decode_pallas).
+2. Sequence-bearing and foreign (libzstd-produced) frames: the host does
+   the O(nseq) index work — native FSE sequence decode (stn_zstd_seqs)
+   compiled into a W-chunked copy-op program (stn_seq_ops) — plus literal
+   decode for blocks without sidecar anchors; the TPU executes the bulk
+   match reconstruction (seq_exec.run_programs) and the result stays in
+   HBM for the follow-on unshuffle / delta_inv.
+
+Payloads neither tier understands return None and the caller falls back
+to host libzstd — the graceful-degradation ladder of stenos.cpp:681-753.
 """
 
 import numpy as np
 
 from .sidecar import split_sidecar
+from .zstd_parse import parse_frame
 
 BLOCK_MAX = 131072
-
-
-def _parse_blocks(payload: bytes, frame_end: int):
-    """Walk the zstd frame headers -> per-block descriptors."""
-    if len(payload) < 9 or payload[:4] != (0xFD2FB528).to_bytes(4, "little"):
-        return None
-    if payload[4] != 0xA0:  # FCS 4 bytes, single segment (our writer)
-        return None
-    content = int.from_bytes(payload[5:9], "little")
-    p = 9
-    blocks = []
-    last = False
-    while not last and p + 3 <= frame_end:
-        bh = int.from_bytes(payload[p : p + 3], "little")
-        last = bool(bh & 1)
-        btype = (bh >> 1) & 3
-        bsize = bh >> 3
-        p += 3
-        blocks.append((btype, p, bsize))
-        if btype == 1:  # RLE: 1 byte payload
-            p += 1
-        else:
-            p += bsize
-    if not last or p > frame_end:
-        return None
-    return content, blocks
+W = 1024  # op chunk: 1 TPU vreg row of bytes
 
 
 def _parse_device_block(payload: bytes, start: int, bsize: int):
@@ -77,33 +61,19 @@ def _parse_device_block(payload: bytes, start: int, bsize: int):
     return regenerated, spans
 
 
-def decode_payload_device(payload, dsize: int, interpret: bool = False):
-    """payload: method-2/3/4 superblock payload (zstd frame [+ sidecar]).
-    Returns a device (dsize,) uint8 array, or None when the payload isn't
-    fully device-decodable."""
+def _decode_all_device(payload, dsize, blocks, entries, interpret):
+    """Tier 1: every block a full-size literals-only device block."""
     import jax
     import jax.numpy as jnp
 
     from .huff_decode_pallas import decode_streams_device, decode_tables
 
-    payload = bytes(payload)
-    frame_end, entries = split_sidecar(payload)
-    if entries is None:
-        return None
-    parsed = _parse_blocks(payload, frame_end)
-    if parsed is None:
-        return None
-    content, blocks = parsed
-    if content != dsize or len(blocks) != len(entries):
-        return None
     nfull = 0
     specs = []
-    for (btype, start, bsize), ent in zip(blocks, entries):
-        if ent is None:
-            return None  # v1: all blocks must be device blocks
-        if btype != 2:
+    for spec, ent in zip(blocks, entries):
+        if ent is None or spec.btype != 2:
             return None
-        pb = _parse_device_block(payload, start, bsize)
+        pb = _parse_device_block(payload, spec.start, spec.size)
         if pb is None or pb[0] != BLOCK_MAX:
             return None
         specs.append((pb[1], ent))
@@ -130,3 +100,179 @@ def decode_payload_device(payload, dsize: int, interpret: bool = False):
         jax.device_put(jnp.asarray(anch), dev),
         jax.device_put(jnp.asarray(tabs), dev), interpret)
     return out.reshape(dsize).astype(jnp.uint8)
+
+
+def _decode_sequences_device(payload, dsize, blocks, interpret):
+    """Tier 2: host index work + host literals, device match
+    reconstruction. Returns a device (dsize,) uint8 array or None.
+
+    Buffer layout (parallel lanes): the out area is (nb, BLOCK_MAX + W)
+    rows — one block per row, the W row-tail absorbing each lane's
+    final-op overrun so concurrently-executing lanes never clobber a
+    neighbor; extraction is a static reshape/slice. That layout requires
+    every block to sit at content offset b * BLOCK_MAX (true for zstd
+    writers, which fill blocks) and no cross-block matches (true for our
+    encoder, entropy/match.py MAX_OFFSET). Anything else — foreign
+    frames with history reaching across blocks, short mid-frame blocks —
+    runs as ONE sequential lane over a gapless layout, where ordered
+    overwrite makes the tails harmless."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..native import lib
+    from . import seq_exec
+
+    if lib is None:
+        return None
+    pv = np.frombuffer(payload, np.uint8)
+    row = BLOCK_MAX + W
+
+    # ---- host pass: literals + O(nseq) sequence decode per block ----
+    ctx = lib.zstd_ctx()
+    reps = np.array([1, 4, 8], np.int64)
+    specs = []   # ("direct", content_off, piece) | ("seq", off, lits, seq)
+    out_off = 0
+    for spec in blocks:
+        if spec.btype == 0:
+            piece = np.array(pv[spec.start : spec.start + spec.size])
+        elif spec.btype == 1:
+            piece = np.full(spec.rsize, payload[spec.start], np.uint8)
+        else:
+            piece = None
+        if piece is not None:
+            if len(piece) > BLOCK_MAX:
+                return None
+            specs.append(("direct", out_off, piece, None))
+            out_off += len(piece)
+            continue
+        lit = spec.lit
+        if lit.regenerated > BLOCK_MAX:
+            return None
+        if lit.kind == "raw":
+            lits = np.array(pv[lit.off : lit.off + lit.length])
+        elif lit.kind == "rle":
+            lits = np.full(lit.regenerated, lit.byte, np.uint8)
+        else:
+            lits = lib.huf_lits(
+                payload[lit.off : lit.off + lit.length], lit.four,
+                lit.treeless, lit.regenerated, ctx)
+            if isinstance(lits, int):
+                return None
+        if spec.seq_len == 1 and payload[spec.seq_off] == 0:
+            specs.append(("direct", out_off, np.asarray(lits), None))
+            out_off += lit.regenerated
+            continue
+        sec = payload[spec.seq_off : spec.seq_off + spec.seq_len]
+        r = lib.zstd_seqs(sec, reps, ctx)
+        if isinstance(r, int):
+            return None
+        ll, ml, off = r
+        body = int(ll.sum() + ml.sum())
+        trailing = lit.regenerated - int(ll.sum())
+        if trailing < 0 or body + trailing > BLOCK_MAX:
+            return None
+        specs.append(("seq", out_off, np.asarray(lits),
+                      (ll, ml, off, trailing)))
+        out_off += body + trailing
+    if out_off != dsize:
+        return None
+
+    if not any(k == "seq" for k, _, _, _ in specs):
+        # no sequence work at all: ship the direct pieces as the result
+        stage = np.zeros(max(dsize, 1), np.uint8)
+        for _, off_, piece, _ in specs:
+            stage[off_ : off_ + len(piece)] = piece
+        return jax.device_put(
+            jnp.asarray(stage[:dsize]), jax.devices()[0])
+
+    # the literal area sits BEFORE the out area: out-area ops overrun
+    # their dst by up to W-1 bytes (ordered overwrite), and a trailing
+    # spill must land in scratch, never on literals a later op still reads
+    def build(gapped):
+        """Compile specs into lane programs + placements for one layout.
+        Returns (progs, placements, lit_total, buf_len) or None when a
+        copy-op reaches before its block (cross-block match) under gapped.
+
+        gapped: one lane per block at row strides (parallel execution,
+        direct pieces pre-placed in their own rows). gapless: ONE ordered
+        lane over a dense layout; direct pieces ride copy-ops too, so a
+        preceding block's W-overrun is repaired before later matches
+        read them."""
+        lit_total = sum(len(piece) for k, _, piece, _ in specs
+                        if k == "seq" or not gapped)
+        progs, placed = [], []
+        cur = 0
+        for b, (kind, off_, piece, seq) in enumerate(specs):
+            boff = lit_total + (b * row if gapped else off_)
+            if kind == "direct":
+                if gapped:
+                    placed.append((boff, piece))
+                else:
+                    placed.append((cur, piece))
+                    cs = np.arange(0, max(len(piece), 1), W, np.int32)
+                    progs.append(np.stack([boff + cs, cur + cs], 1))
+                    cur += len(piece)
+                continue
+            ll, ml, off, trailing = seq
+            placed.append((cur, piece))
+            body = int(ll.sum() + ml.sum())
+            ops = lib.seq_ops(ll, ml, off, boff, cur,
+                              trailing, boff + body + trailing, W)
+            if isinstance(ops, int):
+                return None
+            matches = ops[ops[:, 2] == 0, 1]
+            if gapped and np.any(matches < boff):
+                return None  # cross-block match: parallel lanes invalid
+            if not gapped and np.any(matches < lit_total):
+                return None  # corrupt: offset reaches before the frame
+            progs.append(ops[:, :2])
+            cur += len(piece)
+        out_len = len(specs) * row if gapped else dsize
+        return progs, placed, lit_total, lit_total + out_len
+
+    aligned = all(off_ == b * BLOCK_MAX
+                  for b, (_, off_, _, _) in enumerate(specs))
+    built = build(True) if aligned else None
+    gapped = built is not None
+    if not gapped:
+        built = build(False)
+        if built is None:
+            return None
+        progs, placed, lit_total, buf_len = built
+        progs = [np.concatenate(progs, 0)]  # one ordered lane
+    else:
+        progs, placed, lit_total, buf_len = built
+
+    dst, src, total = seq_exec.pack_programs(progs, buf_len, W)
+    stage = np.zeros(total, np.uint8)
+    for off_, piece in placed:
+        stage[off_ : off_ + len(piece)] = piece
+    dev = jax.devices()[0]
+    buf = jax.device_put(jnp.asarray(stage), dev)
+    buf = seq_exec.run_programs(
+        buf, jax.device_put(jnp.asarray(dst), dev),
+        jax.device_put(jnp.asarray(src), dev), W, interpret)
+    if gapped:
+        rows = buf[lit_total : lit_total + len(specs) * row]
+        rows = rows.reshape(len(specs), row)
+        return rows[:, :BLOCK_MAX].reshape(-1)[:dsize]
+    return buf[lit_total : lit_total + dsize]
+
+
+def decode_payload_device(payload, dsize: int, interpret: bool = False):
+    """payload: method-2/3/4/5 superblock payload (zstd frame [+ sidecar]).
+    Returns a device (dsize,) uint8 array, or None when the payload isn't
+    device-decodable (caller falls back to host libzstd)."""
+    payload = bytes(payload)
+    frame_end, entries = split_sidecar(payload)
+    parsed = parse_frame(payload, frame_end)
+    if parsed is None:
+        return None
+    content, blocks, _ = parsed
+    if content is not None and content != dsize:
+        return None
+    if entries is not None and len(blocks) == len(entries):
+        out = _decode_all_device(payload, dsize, blocks, entries, interpret)
+        if out is not None:
+            return out
+    return _decode_sequences_device(payload, dsize, blocks, interpret)

@@ -60,6 +60,24 @@ class _Native:
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
+        cdll.stn_zstd_ctx_size.restype = ctypes.c_size_t
+        cdll.stn_zstd_ctx_size.argtypes = []
+        cdll.stn_zstd_seqs.restype = ctypes.c_ssize_t
+        cdll.stn_zstd_seqs.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_size_t]
+        cdll.stn_huf_lits.restype = ctypes.c_ssize_t
+        cdll.stn_huf_lits.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_int, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_void_p]
+        cdll.stn_seq_ops.restype = ctypes.c_ssize_t
+        cdll.stn_seq_ops.argtypes = [
+            ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_size_t]
 
     def lz4_guess_size(self, data, accel: int) -> int:
         data = bytes(data)
@@ -222,6 +240,73 @@ class _Native:
             sizes.ctypes.data_as(ctypes.c_void_p))
         return [bytes(out[i][: sizes[i]]) if sizes[i] else None
                 for i in range(n)]
+
+    def zstd_ctx(self):
+        """Fresh per-frame zstd decode context (Repeat_Mode FSE tables and
+        Treeless_Literals huffman table persist across blocks in it)."""
+        import numpy as np
+
+        return np.zeros(int(self._lib.stn_zstd_ctx_size()), np.uint8)
+
+    def zstd_seqs(self, sec, reps, ctx, cap: int = 0x20000):
+        """Decode one sequences section (RFC 8878 §3.1.1.3.2).
+
+        sec: section bytes (nseq header .. bitstream end); reps: (3,) int64
+        running repeat-offset registers, updated in place.
+        Returns (ll i32[n], ml i32[n], off i64[n]) or a negative error."""
+        import numpy as np
+
+        sec = bytes(sec)
+        ll = np.empty(cap, np.int32)
+        ml = np.empty(cap, np.int32)
+        off = np.empty(cap, np.int64)
+        as_p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        r = self._lib.stn_zstd_seqs(sec, len(sec), as_p(reps), as_p(ctx),
+                                    as_p(ll), as_p(ml), as_p(off), cap)
+        if r < 0:
+            return int(r)
+        return ll[:r], ml[:r], off[:r]
+
+    def huf_lits(self, src, four: bool, treeless: bool, regenerated: int,
+                 ctx):
+        """Huffman literals payload (tree desc + streams) -> uint8 array."""
+        import numpy as np
+
+        src = bytes(src)
+        out = np.empty(max(regenerated, 1), np.uint8)
+        r = self._lib.stn_huf_lits(
+            src, len(src), int(four), int(treeless), regenerated,
+            ctx.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p))
+        if r < 0:
+            return int(r)
+        return out[:regenerated]
+
+    def seq_ops(self, ll, ml, off, dst_base: int, lit_base: int,
+                trailing: int, out_limit: int, W: int = 512):
+        """Build the W-chunked copy-op program for one block's sequences.
+
+        Returns (nops, 3) int32 ops (dst, src, flag: 1 = literal source) or
+        a negative error. Ops are destination-ordered; execution relies on
+        the ordered-overwrite invariant (entropy/seq_exec.py)."""
+        import numpy as np
+
+        ll = np.ascontiguousarray(ll, np.int32)
+        ml = np.ascontiguousarray(ml, np.int32)
+        off = np.ascontiguousarray(off, np.int64)
+        n = len(ll)
+        total = int(ll.sum() + ml.sum()) + int(trailing)
+        # worst case per sequence: one ll op + log2(W) overlap-bootstrap
+        # ops before the stride reaches W, plus the W-stride bulk ops
+        cap = (W.bit_length() + 3) * max(n, 1) + total // W + 64
+        ops = np.empty((cap, 3), np.int32)
+        as_p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        r = self._lib.stn_seq_ops(n, as_p(ll), as_p(ml), as_p(off),
+                                  dst_base, lit_base, trailing, out_limit,
+                                  W, as_p(ops), cap)
+        if r < 0:
+            return int(r)
+        return ops[:r]
 
     def block_decode(self, src, bpp: int, nbytes: int):
         """Decode a block stream -> numpy uint8 array or negative error."""

@@ -189,6 +189,7 @@ namespace {
 
 constexpr int ERR_SRC = -2;
 constexpr int ERR_INPUT = -4;
+constexpr int ERR_DST = -6;
 
 // decode_rle per SPEC §3.2: returns bytes consumed after the 2-byte mask, or
 // -1 on overflow. out stride 1.
@@ -1372,4 +1373,588 @@ EXPORT ptrdiff_t stn_parse_rows(const uint8_t* src, size_t size, size_t bpp,
     patch_len[0] = (int64_t)patch_w;
     n_splices[0] = nspl;
     return pos;
+}
+
+// ===================================================================
+// zstd compressed-block decode helpers (clean-room from RFC 8878)
+//
+// The TPU entropy-decode ladder splits a sequence-bearing zstd block into
+//   (a) O(nseq) index work — FSE sequence decode + repcode resolution +
+//       a W-chunked copy-op program (this section, host C++), and
+//   (b) O(nbytes) bulk work — literal decode + op execution on the TPU
+//       (entropy/seq_exec.py runs the op program as one fori_loop of
+//       static-width slice/update copies with the ordered-overwrite
+//       invariant).
+// Reference behavior matched: stenos.cpp:694-753 decodes every method
+// 2/3/4/5 payload through full zstd (zstd_wrapper.h:59-90).
+
+namespace {
+
+inline int highbit_u32(uint32_t v) {
+    return 31 - __builtin_clz(v);
+}
+
+// ---- forward little-endian bit reader (NCount tables) ----
+struct FwdBits {
+    const uint8_t* p;
+    size_t n;
+    size_t pos = 0;  // absolute bit position
+    uint64_t peek(int nb) const {
+        uint64_t v = 0;
+        size_t byte = pos >> 3;
+        for (int i = 0; i < 8 && byte + i < n; ++i)
+            v |= (uint64_t)p[byte + i] << (8 * i);
+        return (v >> (pos & 7)) & ((1ull << nb) - 1);
+    }
+    uint64_t get(int nb) {
+        uint64_t v = peek(nb);
+        pos += nb;
+        return v;
+    }
+};
+
+// ---- backward bit reader (FSE / huffman bitstreams, RFC §3.1.1.3.2.1) ----
+struct BwdBits {
+    const uint8_t* p = nullptr;
+    ptrdiff_t nbytes = 0;
+    ptrdiff_t bits = 0;  // bits remaining below the cursor
+    int init(const uint8_t* src, size_t n) {
+        if (n == 0 || src[n - 1] == 0) return -1;
+        p = src;
+        nbytes = (ptrdiff_t)n;
+        bits = (ptrdiff_t)(n - 1) * 8 + highbit_u32(src[n - 1]);
+        return 0;
+    }
+    // read nb bits just below the cursor (LSB at cursor-nb); reads past the
+    // stream start yield zero bits (final state updates may land there)
+    uint32_t read(int nb) {
+        bits -= nb;
+        ptrdiff_t b = bits;
+        ptrdiff_t byte = b >= 0 ? (b >> 3) : -(((-b) + 7) >> 3);
+        int off = (int)(b - byte * 8);
+        uint64_t v = 0;
+        for (int i = 0; i < 8; ++i) {
+            ptrdiff_t idx = byte + i;
+            if (idx >= 0 && idx < nbytes) v |= (uint64_t)p[idx] << (8 * i);
+        }
+        return (uint32_t)((v >> off) & ((1ull << nb) - 1));
+    }
+};
+
+// ---- FSE decode table ----
+struct FseDEntry {
+    uint16_t base;  // newState base
+    uint8_t sym;
+    uint8_t nb;
+};
+
+// norm counts (-1 allowed) -> decode table (1<<tableLog entries)
+static int fse_build_dtable(const int16_t* norm, int max_sym, int table_log,
+                            FseDEntry* table) {
+    const int size = 1 << table_log;
+    if (table_log > 12) return -1;
+    uint8_t spread[1 << 12];
+    int16_t sym_next[256];
+    int pos_end = size - 1;
+    for (int s = 0; s <= max_sym; ++s) {
+        if (norm[s] == -1) {
+            spread[pos_end--] = (uint8_t)s;
+            sym_next[s] = 1;
+        } else {
+            sym_next[s] = norm[s];
+        }
+    }
+    const int high_threshold = pos_end;
+    const int step = (size >> 1) + (size >> 3) + 3;
+    const int mask = size - 1;
+    int position = 0;
+    for (int s = 0; s <= max_sym; ++s) {
+        for (int i = 0; i < (norm[s] > 0 ? norm[s] : 0); ++i) {
+            spread[position] = (uint8_t)s;
+            position = (position + step) & mask;
+            while (position > high_threshold)
+                position = (position + step) & mask;
+        }
+    }
+    if (position != 0) return -1;
+    for (int u = 0; u < size; ++u) {
+        const uint8_t s = spread[u];
+        const uint16_t x = (uint16_t)sym_next[s]++;
+        const int nb = table_log - highbit_u32(x);
+        table[u].sym = s;
+        table[u].nb = (uint8_t)nb;
+        table[u].base = (uint16_t)((x << nb) - size);
+    }
+    return 0;
+}
+
+// NCount reader (inverse of fse.write_ncount / FSE_readNCount semantics)
+static int read_ncount(const uint8_t* src, size_t n, int max_log,
+                       int16_t* norm /*256*/, int* table_log_out,
+                       int* max_sym_out, size_t* consumed) {
+    FwdBits br{src, n};
+    const int table_log = (int)br.get(4) + 5;
+    if (table_log > max_log) return -1;
+    const int size = 1 << table_log;
+    int remaining = size + 1;
+    int threshold = size;
+    int nb = table_log + 1;
+    int s = 0;
+    bool prev0 = false;
+    for (int i = 0; i < 256; ++i) norm[i] = 0;
+    while (remaining > 1 && s < 256) {
+        if (prev0) {
+            for (;;) {
+                const uint32_t v = (uint32_t)br.get(2);
+                s += (int)v;
+                if (v != 3) break;
+            }
+            if (s >= 256) return -1;
+            prev0 = false;
+        }
+        const int maxv = 2 * threshold - 1 - remaining;
+        const uint32_t full = (uint32_t)br.peek(nb);
+        const uint32_t low = full & (uint32_t)(threshold - 1);
+        int value;
+        if ((int)low < maxv) {
+            value = (int)low;
+            br.pos += nb - 1;
+        } else {
+            value = (int)(full & (uint32_t)(2 * threshold - 1));
+            if (value >= threshold) value -= maxv;
+            br.pos += nb;
+        }
+        const int count = value - 1;  // -1 encodes prob -1
+        norm[s] = (int16_t)count;
+        remaining -= count < 0 ? 1 : count;
+        prev0 = count == 0;
+        ++s;
+        while (remaining > 0 && remaining < threshold) {
+            --nb;
+            threshold >>= 1;
+        }
+    }
+    if (remaining != 1) return -1;
+    *table_log_out = table_log;
+    *max_sym_out = s - 1;
+    *consumed = (br.pos + 7) / 8;
+    return 0;
+}
+
+// ---- predefined sequence distributions (RFC 8878 §3.1.1.3.2.2) ----
+static const int16_t kLLDefault[36] = {
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1};
+static const int16_t kMLDefault[53] = {
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1,
+    -1, -1, -1};
+static const int16_t kOFDefault[29] = {
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1};
+
+// code -> (baseline, extra bits); LL codes 16..35, ML codes 32..52
+static const uint32_t kLLBase[36] = {
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+    2048, 4096, 8192, 16384, 32768, 65536};
+static const uint8_t kLLBits[36] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16};
+static const uint32_t kMLBase[53] = {
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+    19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539};
+static const uint8_t kMLBits[53] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16};
+
+// one sequence channel: FSE table or RLE constant
+struct SeqChannel {
+    FseDEntry table[512];
+    int table_log = 0;  // 0 for RLE
+    uint8_t rle_sym = 0;
+    bool rle = false;
+    bool valid = false;
+    uint32_t state = 0;
+    int build(int mode, const int16_t* dflt, int dflt_max, int dflt_log,
+              int max_log, const uint8_t* src, size_t n, size_t* consumed) {
+        *consumed = 0;
+        if (mode == 0) {
+            rle = false;
+            table_log = dflt_log;
+            if (fse_build_dtable(dflt, dflt_max, dflt_log, table)) return -1;
+        } else if (mode == 1) {
+            if (n < 1) return -1;
+            rle = true;
+            table_log = 0;
+            rle_sym = src[0];
+            *consumed = 1;
+        } else if (mode == 2) {
+            int16_t norm[256];
+            int tl, ms;
+            if (read_ncount(src, n, max_log, norm, &tl, &ms, consumed))
+                return -1;
+            rle = false;
+            table_log = tl;
+            if (fse_build_dtable(norm, ms, tl, table)) return -1;
+        } else {
+            if (!valid) return -1;  // Repeat_Mode without a previous table
+            return 0;
+        }
+        valid = true;
+        return 0;
+    }
+    void init_state(BwdBits& br) { state = rle ? 0 : br.read(table_log); }
+    uint8_t symbol() const { return rle ? rle_sym : table[state].sym; }
+    void update(BwdBits& br) {
+        if (rle) return;
+        const FseDEntry& e = table[state];
+        state = e.base + br.read(e.nb);
+    }
+};
+
+// persistent per-frame decode context: sequence tables (Repeat_Mode) and
+// the huffman literal table (Treeless_Literals_Block) survive across blocks
+struct ZstdDecCtx {
+    SeqChannel ll, of, ml;
+    uint16_t huf[1 << 11];  // (sym << 4) | nbits
+    int huf_log = 0;
+    bool huf_valid = false;
+};
+
+// ---- huffman literal decode (host path for sequence-bearing blocks) ----
+
+// weights -> canonical decode LUT (HUF_readDTableX1 fill order)
+static int huf_build_lut(const uint8_t* weights, int nsyms, ZstdDecCtx* ctx) {
+    uint32_t rank_count[16] = {0};
+    uint32_t total = 0;
+    int max_w = 0;
+    for (int s = 0; s < nsyms; ++s) {
+        const int w = weights[s];
+        if (w > 12) return -1;
+        rank_count[w]++;
+        if (w) total += 1u << (w - 1);
+        if (w > max_w) max_w = w;
+    }
+    // the implicit last weight completes total to an exact power of two
+    if (total == 0) return -1;
+    const int table_log = highbit_u32(total);
+    if (table_log > 11 || (1u << table_log) != total) return -1;
+    // rank start offsets: larger weights (shorter codes) fill later
+    uint32_t rank_start[16];
+    uint32_t next = 0;
+    for (int w = 1; w <= max_w; ++w) {
+        rank_start[w] = next;
+        next += rank_count[w] << (w - 1);
+    }
+    if (next != (1u << table_log)) return -1;
+    for (int s = 0; s < nsyms; ++s) {
+        const int w = weights[s];
+        if (!w) continue;
+        const uint32_t len = 1u << (w - 1);
+        const uint8_t nb = (uint8_t)(table_log + 1 - w);
+        for (uint32_t i = 0; i < len; ++i)
+            ctx->huf[rank_start[w] + i] = (uint16_t)((s << 4) | nb);
+        rank_start[w] += len;
+    }
+    ctx->huf_log = table_log;
+    ctx->huf_valid = true;
+    return 0;
+}
+
+// FSE-compressed weights stream (two interleaved states, RFC §4.2.1.2)
+static int huf_fse_weights(const uint8_t* src, size_t n, uint8_t* weights,
+                           int* count) {
+    int16_t norm[256];
+    int tl, ms;
+    size_t consumed;
+    if (read_ncount(src, n, 6, norm, &tl, &ms, &consumed)) return -1;
+    FseDEntry table[64];
+    if (fse_build_dtable(norm, ms, tl, table)) return -1;
+    BwdBits br;
+    if (br.init(src + consumed, n - consumed)) return -1;
+    uint32_t s1 = br.read(tl);
+    uint32_t s2 = br.read(tl);
+    int k = 0;
+    for (;;) {
+        if (k >= 255) return -1;
+        weights[k++] = table[s1].sym;
+        if (br.bits - (ptrdiff_t)table[s1].nb < 0) {
+            s1 = 0;  // final reload would underflow: other state closes
+            if (k >= 255) return -1;
+            weights[k++] = table[s2].sym;
+            break;
+        }
+        s1 = table[s1].base + br.read(table[s1].nb);
+        if (k >= 255) return -1;
+        weights[k++] = table[s2].sym;
+        if (br.bits - (ptrdiff_t)table[s2].nb < 0) {
+            if (k >= 255) return -1;
+            weights[k++] = table[s1].sym;
+            break;
+        }
+        s2 = table[s2].base + br.read(table[s2].nb);
+    }
+    *count = k;
+    return 0;
+}
+
+// decode one huffman bitstream (backward; symbols come out forward)
+static int huf_decode_stream(const uint8_t* src, size_t n,
+                             const ZstdDecCtx* ctx, uint8_t* out,
+                             size_t nsym) {
+    BwdBits br;
+    if (br.init(src, n)) return -1;
+    const int tl = ctx->huf_log;
+    for (size_t i = 0; i < nsym; ++i) {
+        // peek tableLog bits below the cursor, MSB-aligned: equivalently an
+        // LE extraction at cursor-tl (zero-padded past the stream start)
+        BwdBits tmp = br;
+        uint32_t v;
+        if (br.bits >= tl) {
+            v = tmp.read(tl);
+        } else {
+            const int have = br.bits > 0 ? (int)br.bits : 0;
+            v = tmp.read(have) << (tl - have);
+        }
+        const uint16_t e = ctx->huf[v];
+        out[i] = (uint8_t)(e >> 4);
+        br.bits -= (ptrdiff_t)(e & 15);
+        if (br.bits < 0) return -1;
+    }
+    if (br.bits != 0) return -1;  // exact consumption, like the encoder
+    return 0;
+}
+
+}  // namespace
+
+// Decode a huffman literals payload (tree desc + 1 or 4 streams).
+//   src/n: bytes after the literals-section header (csize bytes)
+//   four: 4-stream layout (6-byte jump table)
+//   treeless: reuse the previous block's table (ctx)
+// Returns 0 or negative error.
+EXPORT ptrdiff_t stn_huf_lits(const uint8_t* src, size_t n, int four,
+                              int treeless, size_t regenerated,
+                              uint8_t* ctx_blob, uint8_t* out) {
+    ZstdDecCtx* ctx = (ZstdDecCtx*)ctx_blob;
+    size_t p = 0;
+    if (!treeless) {
+        if (n < 1) return ERR_SRC;
+        uint8_t weights[256];
+        int count;
+        const uint8_t hb = src[0];
+        if (hb < 128) {  // FSE-compressed weights, hb = compressed size
+            if (1 + (size_t)hb > n) return ERR_SRC;
+            if (huf_fse_weights(src + 1, hb, weights, &count))
+                return ERR_INPUT;
+            p = 1 + hb;
+        } else {  // direct 4-bit weights
+            count = hb - 127;
+            const size_t bytes = ((size_t)count + 1) / 2;
+            if (1 + bytes > n) return ERR_SRC;
+            for (int i = 0; i < count; ++i) {
+                const uint8_t bb = src[1 + i / 2];
+                weights[i] = (i & 1) ? (bb & 15) : (bb >> 4);
+            }
+            p = 1 + bytes;
+        }
+        // last weight is implicit (RFC §4.2.1.1)
+        uint32_t total = 0;
+        for (int i = 0; i < count; ++i)
+            if (weights[i]) total += 1u << (weights[i] - 1);
+        if (total == 0) return ERR_INPUT;
+        const int tl = highbit_u32(total) + 1;
+        const uint32_t rest = (1u << tl) - total;
+        if (rest == 0 || (rest & (rest - 1))) return ERR_INPUT;
+        weights[count] = (uint8_t)(highbit_u32(rest) + 1);
+        if (huf_build_lut(weights, count + 1, ctx)) return ERR_INPUT;
+    } else if (!ctx->huf_valid) {
+        return ERR_INPUT;
+    }
+    if (!four) {
+        if (huf_decode_stream(src + p, n - p, ctx, out, regenerated))
+            return ERR_INPUT;
+        return 0;
+    }
+    if (p + 6 > n) return ERR_SRC;
+    const size_t j1 = src[p] | (src[p + 1] << 8);
+    const size_t j2 = src[p + 2] | (src[p + 3] << 8);
+    const size_t j3 = src[p + 4] | (src[p + 5] << 8);
+    p += 6;
+    if (p + j1 + j2 + j3 > n) return ERR_SRC;
+    const size_t s1 = (regenerated + 3) / 4;
+    const size_t s4 = regenerated - 3 * s1;
+    const size_t offs[4] = {p, p + j1, p + j1 + j2, p + j1 + j2 + j3};
+    const size_t lens[4] = {j1, j2, j3, n - (p + j1 + j2 + j3)};
+    const size_t outs[4] = {0, s1, 2 * s1, 3 * s1};
+    const size_t cnts[4] = {s1, s1, s1, s4};
+    for (int i = 0; i < 4; ++i)
+        if (huf_decode_stream(src + offs[i], lens[i], ctx, out + outs[i],
+                              cnts[i]))
+            return ERR_INPUT;
+    return 0;
+}
+
+EXPORT size_t stn_zstd_ctx_size() { return sizeof(ZstdDecCtx); }
+
+// Decode one sequences section (RFC §3.1.1.3.2): nseq header, channel
+// modes, FSE tables, interleaved backward bitstream, repcode resolution.
+//   reps: 3 running repeat-offset registers (in/out; frame start = 1,4,8)
+//   ctx:  persistent tables for Repeat_Mode across blocks
+// Outputs resolved (ll, ml, offset) triples. Returns nseq or negative.
+EXPORT ptrdiff_t stn_zstd_seqs(const uint8_t* sec, size_t n, int64_t* reps,
+                               uint8_t* ctx_blob, int32_t* ll_out,
+                               int32_t* ml_out, int64_t* off_out,
+                               size_t cap) {
+    ZstdDecCtx* ctx = (ZstdDecCtx*)ctx_blob;
+    if (n < 1) return ERR_SRC;
+    size_t p = 0;
+    uint32_t nseq;
+    const uint8_t b0 = sec[p++];
+    if (b0 < 128) {
+        nseq = b0;
+    } else if (b0 < 255) {
+        if (p >= n) return ERR_SRC;
+        nseq = ((uint32_t)(b0 - 128) << 8) + sec[p++];
+    } else {
+        if (p + 2 > n) return ERR_SRC;
+        nseq = sec[p] + ((uint32_t)sec[p + 1] << 8) + 0x7F00;
+        p += 2;
+    }
+    if (nseq == 0) return 0;
+    if (nseq > cap || p >= n) return ERR_INPUT;
+    const uint8_t modes = sec[p++];
+    if (modes & 3) return ERR_INPUT;  // reserved bits
+    size_t used;
+    if (ctx->ll.build((modes >> 6) & 3, kLLDefault, 35, 6, 9, sec + p,
+                      n - p, &used))
+        return ERR_INPUT;
+    p += used;
+    if (ctx->of.build((modes >> 4) & 3, kOFDefault, 28, 5, 8, sec + p,
+                      n - p, &used))
+        return ERR_INPUT;
+    p += used;
+    if (ctx->ml.build((modes >> 2) & 3, kMLDefault, 52, 6, 9, sec + p,
+                      n - p, &used))
+        return ERR_INPUT;
+    p += used;
+    BwdBits br;
+    if (br.init(sec + p, n - p)) return ERR_SRC;
+    ctx->ll.init_state(br);
+    ctx->of.init_state(br);
+    ctx->ml.init_state(br);
+    for (uint32_t i = 0; i < nseq; ++i) {
+        const uint8_t of_code = ctx->of.symbol();
+        if (of_code > 31) return ERR_INPUT;
+        const uint64_t off_val = (1ull << of_code) + br.read(of_code);
+        const uint8_t ml_code = ctx->ml.symbol();
+        if (ml_code > 52) return ERR_INPUT;
+        const uint32_t ml = kMLBase[ml_code] + br.read(kMLBits[ml_code]);
+        const uint8_t ll_code = ctx->ll.symbol();
+        if (ll_code > 35) return ERR_INPUT;
+        const uint32_t ll = kLLBase[ll_code] + br.read(kLLBits[ll_code]);
+        int64_t off;
+        if (off_val > 3) {
+            off = (int64_t)(off_val - 3);
+            reps[2] = reps[1];
+            reps[1] = reps[0];
+            reps[0] = off;
+        } else {
+            const int idx = (int)off_val - 1 + (ll == 0 ? 1 : 0);
+            if (idx == 0) {
+                off = reps[0];
+            } else if (idx == 1) {
+                off = reps[1];
+                reps[1] = reps[0];
+                reps[0] = off;
+            } else if (idx == 2) {
+                off = reps[2];
+                reps[2] = reps[1];
+                reps[1] = reps[0];
+                reps[0] = off;
+            } else {
+                off = reps[0] - 1;
+                if (off <= 0) return ERR_INPUT;
+                reps[2] = reps[1];
+                reps[1] = reps[0];
+                reps[0] = off;
+            }
+        }
+        if (off <= 0) return ERR_INPUT;
+        ll_out[i] = (int32_t)ll;
+        ml_out[i] = (int32_t)ml;
+        off_out[i] = off;
+        if (i + 1 < nseq) {  // update order: LL, ML, OF (RFC)
+            ctx->ll.update(br);
+            ctx->ml.update(br);
+            ctx->of.update(br);
+        }
+    }
+    if (br.bits != 0) return ERR_INPUT;  // stream must be fully consumed
+    return (ptrdiff_t)nseq;
+}
+
+// Build the W-chunked copy-op program for one block's sequences.
+// Each op is (dst, src, flag) int32; flag 1 = source is the literal
+// buffer, 0 = source is earlier output. Every op copies exactly W bytes;
+// only the bytes up to the next op's dst are valid (ordered overwrite).
+// Self-overlapping matches bootstrap with stride=offset ops whose pads the
+// following op overwrites, then grow the stride geometrically.
+//   trailing = literal bytes after the last sequence
+// Returns the op count or a negative error.
+EXPORT ptrdiff_t stn_seq_ops(size_t nseq, const int32_t* ll,
+                             const int32_t* ml, const int64_t* off,
+                             int64_t dst_base, int64_t lit_base,
+                             int64_t trailing, int64_t out_limit, int32_t W,
+                             int32_t* ops, size_t cap) {
+    size_t nops = 0;
+    int64_t pos = dst_base;
+    int64_t lit = lit_base;
+    auto emit = [&](int64_t dst, int64_t src, int32_t flag) -> bool {
+        if (nops + 1 > cap) return false;
+        ops[3 * nops] = (int32_t)dst;
+        ops[3 * nops + 1] = (int32_t)src;
+        ops[3 * nops + 2] = flag;
+        ++nops;
+        return true;
+    };
+    auto emit_lit = [&](int64_t len) -> bool {
+        for (int64_t c = 0; c < len; c += W)
+            if (!emit(pos + c, lit + c, 1)) return false;
+        pos += len;
+        lit += len;
+        return true;
+    };
+    for (size_t i = 0; i < nseq; ++i) {
+        if (!emit_lit(ll[i])) return ERR_DST;
+        const int64_t o = off[i];
+        const int64_t m = ml[i];
+        if (o > pos - 0 || pos + m > out_limit) return ERR_INPUT;
+        if (o >= W) {
+            for (int64_t c = 0; c < m; c += W)
+                if (!emit(pos + c, pos + c - o, 0)) return ERR_DST;
+        } else {
+            int64_t c = 0;
+            int64_t step = o;
+            while (c < m) {
+                if (!emit(pos + c, pos + c - step, 0)) return ERR_DST;
+                c += step < m - c ? step : m - c;
+                if (step < W) {
+                    int64_t k = W / o;
+                    const int64_t k2 = (c + o) / o;
+                    if (k2 < k) k = k2;
+                    if (k < 1) k = 1;
+                    step = k * o;
+                }
+            }
+        }
+        pos += m;
+    }
+    if (!emit_lit(trailing)) return ERR_DST;
+    if (pos > out_limit) return ERR_INPUT;
+    return (ptrdiff_t)nops;
 }

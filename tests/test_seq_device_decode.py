@@ -1,0 +1,96 @@
+"""Device decode of sequence-bearing zstd payloads (tier 2 of
+entropy/device_decode.py): host O(nseq) index work + TPU bulk match
+reconstruction. Reference behavior matched: stenos.cpp:694-753 decodes
+every method-2/3/4/5 payload through full zstd (zstd_wrapper.h:59-90) —
+here the bulk bytes stay on device.
+
+Runs on the CPU backend (conftest forces JAX_PLATFORMS=cpu, 8 virtual
+devices); run_programs is pure XLA so the path is identical on TPU.
+"""
+
+import numpy as np
+import pytest
+import zstandard as zstd
+
+from stenos_tpu.entropy.device_decode import decode_payload_device
+from stenos_tpu.native import lib
+
+pytestmark = pytest.mark.skipif(lib is None, reason="native runtime missing")
+
+
+def _check(payload: bytes, data: bytes):
+    out = decode_payload_device(payload, len(data), interpret=True)
+    assert out is not None, "fell back to host"
+    assert bytes(np.asarray(out).tobytes()) == data
+
+
+def _families(rng):
+    return {
+        "text": b"the quick brown fox jumps over the lazy dog " * 9000,
+        "runs": np.repeat(rng.integers(0, 8, 9000, np.uint8),
+                          rng.integers(1, 60, 9000)).tobytes(),
+        "ts": np.cumsum(rng.integers(-3, 4, 260_000)).astype(np.int16)
+              .tobytes(),
+        "short": b"abcabcabcXY",
+    }
+
+
+@pytest.mark.parametrize("level", [1, 3, 9])
+def test_libzstd_sequence_frames(level):
+    rng = np.random.default_rng(5)
+    for name, data in _families(rng).items():
+        c = zstd.ZstdCompressor(level=level).compress(data)
+        _check(c, data)
+
+
+def test_raw_block_between_sequence_blocks():
+    """A libzstd frame whose middle block is incompressible (Raw_Block)
+    surrounded by sequence-bearing blocks: exercises the gapless layout's
+    direct-piece handling (a preceding seq op's W-overrun must not corrupt
+    the raw piece, and following blocks' matches may read into it)."""
+    rng = np.random.default_rng(11)
+    blk = 131072
+    # period 3: the compressed block's final copy op is NOT W-aligned, so
+    # its overrun reaches into the raw block's bytes and must be repaired
+    data = ((b"abc" * blk)[:blk]
+            + rng.integers(0, 256, blk, np.uint8).tobytes()
+            + (b"xyz" * blk)[:blk])
+    c = zstd.ZstdCompressor(level=3).compress(data)
+    from stenos_tpu.entropy.zstd_parse import parse_frame
+    parsed = parse_frame(c)
+    assert parsed is not None
+    btypes = [b.btype for b in parsed[1]]
+    assert 0 in btypes, f"expected a raw block, got {btypes}"
+    _check(c, data)
+
+
+def test_rle_and_short_blocks():
+    blk = 131072
+    data = b"\x00" * blk + b"hello world, hello world, hello" + b"\x07" * 50
+    c = zstd.ZstdCompressor(level=3).compress(data)
+    _check(c, data)
+
+
+def test_own_encoder_runny_frame():
+    """encode_frame_host emits sequence blocks for runny data; they must
+    decode through the device tier, bit-exact."""
+    from stenos_tpu.entropy.zstd_frame import encode_frame_host
+
+    rng = np.random.default_rng(3)
+    data = np.repeat(rng.integers(0, 40, 40_000, np.uint8), 9)[:300_000]
+    f = encode_frame_host(data)
+    _check(bytes(f), data.tobytes())
+
+
+def test_full_frame_path_entropy_decompress():
+    """The frame._entropy_decompress ladder takes the device tier for a
+    sequence-bearing payload (no sidecar) when an engine is present."""
+    from stenos_tpu import frame as frame_mod
+
+    class _Eng:  # truthy placeholder: engine presence enables the tier
+        pass
+
+    data = (b"the quick brown fox jumps over the lazy dog " * 6000)[:262144]
+    c = zstd.ZstdCompressor(level=3).compress(data)
+    r = frame_mod._entropy_decompress(c, len(data), _Eng())
+    assert r is not None and bytes(np.asarray(r).tobytes()) == data
