@@ -58,6 +58,17 @@ def main():
 
     # const_apply (read-only scan: no recompression on eviction)
     t("const_apply (scan)", lambda: v.const_apply(lambda c: None))
+
+    # eviction churn: tight resident pool + strided reads force an eviction
+    # per access — O(1) LRU bookkeeping must keep this flat in bucket count
+    # (the cvector free-context-list analog, cvector.hpp:1700-1800)
+    ev = CompressedArray(np.int32, block_shift=4, level=args.level,
+                         max_raw_buckets=2)
+    ev.extend(data)
+    nb = max(len(ev._buckets), 1)
+    stride = max(nb // 4096, 1) * ev.chunk_elems + ev.chunk_elems // 2
+    hits = [(i * stride) % args.n for i in range(4096)]
+    t(f"4k evicting reads ({nb} bkt)", lambda: [ev[h] for h in hits])
     # structural edits (chunk-streamed O(distance-to-end))
     t("insert 1k mid", lambda: v.insert(args.n // 2,
                                         np.arange(1000, dtype=np.int32)))

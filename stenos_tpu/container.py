@@ -13,6 +13,7 @@ decompressible by plain stenos_decompress — verified against the C++
 reference in tests/test_container.py.
 """
 
+import collections
 import threading
 
 import numpy as np
@@ -57,6 +58,11 @@ class CompressedArray:
         self._size = 0  # total elements
         self._max_raw = max_raw_buckets
         self._raw_count = 0
+        # residency order for eviction: id(bucket) -> bucket, oldest first
+        # (the cvector free-context-list analog, cvector.hpp:1700-1800 —
+        # O(1) per eviction instead of a front rescan of every bucket)
+        self._lru: "collections.OrderedDict[int, _Bucket]" = \
+            collections.OrderedDict()
         self._lock = threading.RLock()
 
     # ------------------------------------------------------------- internals
@@ -97,21 +103,33 @@ class CompressedArray:
             data = self._decompress_chunk(b.compressed, nbytes)
             b.raw = np.frombuffer(data.tobytes(), self.dtype).copy()
             self._raw_count += 1
-            self._evict(keep=i)
+            self._lru[id(b)] = b
+            self._evict(keep=b)
+        else:
+            lru = self._lru
+            if id(b) in lru:
+                lru.move_to_end(id(b))
         return b.raw
 
-    def _evict(self, keep: int):
+    def _evict(self, keep: _Bucket):
         limit = self._max_raw or max(2, len(self._buckets) // 16 + 1)
         if self._raw_count <= limit:
             return
-        for j, b in enumerate(self._buckets[:-1]):  # keep the back bucket hot
-            if j != keep and b.raw is not None:
-                self._pack(j)
-                if self._raw_count <= limit:
-                    return
+        back = self._buckets[-1] if self._buckets else None
+        for key in list(self._lru):  # oldest resident first
+            b = self._lru[key]
+            if b.raw is None:  # stale entry: packed or dropped elsewhere
+                del self._lru[key]
+                continue
+            if b is keep or b is back:  # keep the back bucket hot
+                continue
+            self._pack(b)
+            if self._raw_count <= limit:
+                return
 
-    def _pack(self, i: int):
-        b = self._buckets[i]
+    def _pack(self, b) -> None:
+        if isinstance(b, int):
+            b = self._buckets[b]
         if b.raw is None:
             return
         if b.dirty or b.compressed is None:
@@ -120,6 +138,7 @@ class CompressedArray:
             b.dirty = False
         b.raw = None
         self._raw_count -= 1
+        self._lru.pop(id(b), None)
 
     def _back_raw(self, i: int) -> np.ndarray:
         """Raw storage of bucket i grown to full chunk capacity (append
@@ -139,7 +158,8 @@ class CompressedArray:
         nb.raw = np.empty(self.chunk_elems, self.dtype)
         self._buckets.append(nb)
         self._raw_count += 1
-        self._evict(keep=len(self._buckets) - 1)
+        self._lru[id(nb)] = nb
+        self._evict(keep=nb)
         return nb
 
     # ------------------------------------------------------------- basic API
@@ -169,6 +189,7 @@ class CompressedArray:
                 b = self._buckets.pop()
                 if b.raw is not None:
                     self._raw_count -= 1
+                    self._lru.pop(id(b), None)
             else:
                 self._buckets[-1].dirty = True
             return v
@@ -253,6 +274,7 @@ class CompressedArray:
         for b in self._buckets[first:]:
             if b.raw is not None:
                 self._raw_count -= 1
+                self._lru.pop(id(b), None)
         del self._buckets[first:]
         self._size = first * self.chunk_elems
         pend = np.empty(0, self.dtype)
@@ -279,6 +301,7 @@ class CompressedArray:
             if b.raw is not None and not b.dirty and b.compressed is not None:
                 b.raw = None  # bucket is about to be dropped: free eagerly
                 self._raw_count -= 1
+                self._lru.pop(id(b), None)
         return out
 
     def insert(self, pos: int, values):
@@ -332,11 +355,13 @@ class CompressedArray:
             for b in self._buckets[keep:]:
                 if b.raw is not None:
                     self._raw_count -= 1
+                    self._lru.pop(id(b), None)
             del self._buckets[keep:]
 
     def clear(self):
         with self._lock:
             self._buckets.clear()
+            self._lru.clear()
             self._size = 0
             self._raw_count = 0
 
