@@ -86,16 +86,29 @@ def raw_literals_section(data: np.ndarray) -> bytes:
     return hdr.to_bytes(3, "little") + data.tobytes()
 
 
-def encode_block(data: np.ndarray, last: bool, reps=None):
+def encode_block(data: np.ndarray, last: bool, reps=None, cand=None,
+                 _force_py: bool = False):
     """One zstd block. reps: running repeat-offset registers (they persist
     across blocks within a frame, RFC 8878); None = frame start.
-    Returns (block_bytes, reps_out)."""
+    cand: optional device match-candidate array (match_device) replacing
+    the host fp4-map finder. Returns (block_bytes, reps_out).
+
+    The native twin (stn_encode_block) runs when available — byte-identical
+    output, ~100x the python loop; _force_py pins the python reference
+    (tests compare the two)."""
     from .match import greedy_parse
     from .sequences import (FRESH_REPS, _recode_repeat_offsets,
                             encode_sequences, find_run_sequences)
 
     if reps is None:
         reps = FRESH_REPS
+    if not _force_py:
+        from ..native import lib as native
+
+        if native is not None and hasattr(native, "encode_block"):
+            rarr = np.asarray(reps, np.int64).copy()
+            blk = native.encode_block(data, last, rarr, cand)
+            return blk, tuple(int(v) for v in rarr)
     n = len(data)
     if n and (data == data[0]).all():
         bh = int(last) | (1 << 1) | (n << 3)
@@ -107,7 +120,13 @@ def encode_block(data: np.ndarray, last: bool, reps=None):
         # literals-only, 0 sequences: registers unchanged
         candidates.append((lit + b"\x00", reps))
 
-    for finder in (find_run_sequences, greedy_parse):
+    if cand is not None:
+        from .match_device import _parse_py
+
+        match_finder = lambda d: _parse_py(d, cand)  # noqa: E731
+    else:
+        match_finder = greedy_parse
+    for finder in (find_run_sequences, match_finder):
         rs = finder(data)
         if rs is None:
             continue
@@ -193,6 +212,41 @@ def encode_frame_device(data, interpret: bool = False,
         # device kernel covers the (typical) literals-only bulk
         eqc = (full[:, 1:] == full[:, :-1]).sum(axis=1)
         runny = eqc >= BLOCK_MAX // 32
+        # blocks with LZ potential (neighbor-equal runs OR duplicate
+        # 4-grams — the one-sort device prepass) route to the sequence
+        # encoder; candidates come from the device sort pipeline
+        # (match_device), batched in power-of-two buckets so only a
+        # handful of shapes ever compile. The host walk consumes them;
+        # the exact cost comparison in encode_block keeps false
+        # positives size-neutral.
+        cands = {}
+        try:
+            from .match_device import match_candidates, matchiness
+
+            CHUNK = 16
+            mfrac = np.zeros(nfull, np.float32)
+            for off in range(0, nfull, CHUNK):
+                sel = np.arange(off, min(off + CHUNK, nfull))
+                nb = 1
+                while nb < len(sel):
+                    nb <<= 1
+                pad = np.zeros((nb, BLOCK_MAX), np.uint8)
+                pad[: len(sel)] = full[sel]
+                mfrac[sel] = matchiness(pad)[: len(sel)]
+            runny = runny | (mfrac >= 1 / 8)
+            runny_idx = np.flatnonzero(runny)
+            for off in range(0, len(runny_idx), CHUNK):
+                sel = runny_idx[off : off + CHUNK]
+                nb = 1
+                while nb < len(sel):
+                    nb <<= 1
+                pad = np.zeros((nb, BLOCK_MAX), np.uint8)
+                pad[: len(sel)] = full[sel]
+                got = match_candidates(pad)
+                for j, b in enumerate(sel):
+                    cands[int(b)] = got[j]
+        except Exception:
+            pass  # no accelerator: the host fp4-map finder takes over
         metas = []
         for b in range(nfull):
             if (runny[b] or int((lens_all[b] > 0).sum()) < 2
@@ -220,7 +274,8 @@ def encode_frame_device(data, interpret: bool = False,
             last = (b == nfull - 1) and n == nfull * BLOCK_MAX
             m = metas[b]
             if m is None:
-                blk, reps = encode_block(chunk, last, reps)
+                blk, reps = encode_block(chunk, last, reps,
+                                         cand=cands.get(b))
                 blocks.append(blk)
                 sc_entries.append(None)
                 continue

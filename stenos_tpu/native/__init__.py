@@ -78,6 +78,16 @@ class _Native:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_size_t]
+        cdll.stn_match_parse.restype = ctypes.c_ssize_t
+        cdll.stn_match_parse.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p]
+        cdll.stn_encode_block.restype = ctypes.c_ssize_t
+        cdll.stn_encode_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_size_t]
 
     def lz4_guess_size(self, data, accel: int) -> int:
         data = bytes(data)
@@ -307,6 +317,51 @@ class _Native:
         if r < 0:
             return int(r)
         return ops[:r]
+
+    def match_parse(self, data, cand=None):
+        """Greedy LZ77 parse of one block (<= 128 KiB): exact nearest-
+        previous-fp4 map walk (cand None, twin of match.greedy_parse) or
+        the device candidate-array walk (twin of
+        match_device._parse_py). Returns (seqs, lits) or None."""
+        import numpy as np
+
+        data = np.ascontiguousarray(data, np.uint8)
+        n = len(data)
+        use = 0 if cand is None else 1
+        carr = np.zeros(1, np.int32) if cand is None else \
+            np.ascontiguousarray(cand, np.int32)
+        cap = n // 3 + 16
+        seqs = np.empty((cap, 3), np.int32)
+        lits = np.empty(n + 16, np.uint8)
+        nlits = np.zeros(1, np.int64)
+        as_p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        r = self._lib.stn_match_parse(as_p(data), n, as_p(carr), use,
+                                      as_p(seqs), cap, as_p(lits),
+                                      as_p(nlits))
+        if r <= 0:
+            return None
+        return ([tuple(int(v) for v in t) for t in seqs[:r]],
+                lits[: int(nlits[0])].copy())
+
+    def encode_block(self, data, last: bool, reps, cand=None):
+        """One whole zstd block (twin of zstd_frame.encode_block; output
+        byte-identical — tested). reps: (3,) int64 running repeat-offset
+        registers, updated in place to the chosen candidate's state."""
+        import numpy as np
+
+        data = np.ascontiguousarray(data, np.uint8)
+        n = len(data)
+        use = 0 if cand is None else 1
+        carr = np.zeros(1, np.int32) if cand is None else \
+            np.ascontiguousarray(cand, np.int32)
+        out = np.empty(n + 32, np.uint8)
+        as_p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        r = self._lib.stn_encode_block(as_p(data), n, as_p(carr), use,
+                                       int(last), as_p(reps), as_p(out),
+                                       out.size)
+        if r < 0:
+            raise RuntimeError(f"stn_encode_block: {r}")
+        return bytes(out[:r])
 
     def block_decode(self, src, bpp: int, nbytes: int):
         """Decode a block stream -> numpy uint8 array or negative error."""

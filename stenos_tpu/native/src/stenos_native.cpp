@@ -10,9 +10,11 @@
 // All calls are GIL-free (ctypes releases the GIL), so the Python runtime can
 // fan superblocks out over a thread pool.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <vector>
 
 #define EXPORT extern "C" __attribute__((visibility("default")))
 
@@ -1957,4 +1959,614 @@ EXPORT ptrdiff_t stn_seq_ops(size_t nseq, const int32_t* ll,
     if (!emit_lit(trailing)) return ERR_DST;
     if (pos > out_limit) return ERR_INPUT;
     return (ptrdiff_t)nops;
+}
+
+// ===================================================================
+// zstd block ENCODER fast path (clean-room, RFC 8878) — the C++ twin of
+// entropy/zstd_frame.encode_block + entropy/match.py + entropy/sequences.py
+// (byte-identical output; tests compare against the python reference).
+// Match candidates come either from an on-the-fly exact nearest-previous-
+// fp4 map (the host path) or from the device sort-based candidate array
+// (entropy/match_device.py): dist | (log2 guaranteed length << 24).
+
+namespace {
+
+// value -> (code, extra bits), scanning the decoder's per-code tables
+// (kLLBase/kLLBits/kMLBase/kMLBits above; RFC 8878 §3.1.1.3.2.1.1)
+inline void ll_code_of(int32_t v, int* code, int* nb) {
+    if (v < 16) { *code = v; *nb = 0; return; }
+    for (int c = 16; c < 36; ++c)
+        if ((uint32_t)v < kLLBase[c] + (1u << kLLBits[c])) {
+            *code = c; *nb = kLLBits[c]; return;
+        }
+    *code = 35; *nb = 16;
+}
+
+inline void ml_code_of(int32_t v, int* code, int* nb) {
+    if (v < 35) { *code = v - 3; *nb = 0; return; }
+    for (int c = 32; c < 53; ++c)
+        if ((uint32_t)v < kMLBase[c] + (1u << kMLBits[c])) {
+            *code = c; *nb = kMLBits[c]; return;
+        }
+    *code = 52; *nb = 16;
+}
+
+// FseEnc sized for the sequence channels (up to 53 symbols, table log 9)
+struct FseEncSeq {
+    int tl;
+    int32_t state_table[512];
+    int64_t dnb[64], dfs[64];
+    int64_t value = 0;
+    void build(const int32_t* norm, int n_sym, int tlog) {
+        tl = tlog;
+        const int size = 1 << tl;
+        int spread[512];
+        int high = size - 1;
+        for (int s = 0; s < n_sym; ++s)
+            if (norm[s] == -1) spread[high--] = s;
+        const int step = (size >> 1) + (size >> 3) + 3;
+        const int mask = size - 1;
+        int pos = 0;
+        for (int s = 0; s < n_sym; ++s)
+            for (int i = 0; i < norm[s]; ++i) {
+                spread[pos] = s;
+                pos = (pos + step) & mask;
+                while (pos > high) pos = (pos + step) & mask;
+            }
+        int64_t cumul[65];
+        cumul[0] = 0;
+        for (int s = 0; s < n_sym; ++s)
+            cumul[s + 1] = cumul[s] +
+                (norm[s] == -1 ? 1 : (norm[s] > 0 ? norm[s] : 0));
+        for (int u = 0; u < size; ++u)
+            state_table[cumul[spread[u]]++] = size + u;
+        // cumul was consumed as the write cursor; recompute deltas
+        int64_t total = 0;
+        for (int s = 0; s < n_sym; ++s) {
+            int c = norm[s];
+            if (c == -1 || c == 1) {
+                dnb[s] = ((int64_t)tl << 16) - (1ll << tl);
+                dfs[s] = total - 1;
+                total += 1;
+            } else if (c == 0) {
+                dnb[s] = (((int64_t)tl + 1) << 16) - (1ll << tl);
+                dfs[s] = total - 1;
+            } else {
+                int mbo = tl - highbit(c - 1);
+                dnb[s] = ((int64_t)mbo << 16) - ((int64_t)c << mbo);
+                dfs[s] = total - c;
+                total += c;
+            }
+        }
+    }
+    void init_state(int s) {
+        int nb = (int)((dnb[s] + (1 << 15)) >> 16);
+        int64_t v = ((int64_t)nb << 16) - dnb[s];
+        value = state_table[(v >> nb) + dfs[s]];
+    }
+    void encode(BitW& bw, int s) {
+        int nb = (int)((value + dnb[s]) >> 16);
+        bw.add((uint64_t)value, nb);
+        value = state_table[(value >> nb) + dfs[s]];
+    }
+    void flush(BitW& bw) { bw.add((uint64_t)value, tl); }
+};
+
+// one channel's mode decision (twin of sequences._channel_plan): returns
+// mode 0/1/2, fills header bytes (hn) and the encoder (for modes 0 and 2)
+inline int channel_plan(const int32_t* codes, size_t n, const int16_t* defn,
+                        int def_n, int def_log, int max_log, uint8_t* hdr,
+                        int* hn, FseEncSeq* enc) {
+    int64_t cnt[64] = {0};
+    int max_sym = 0;
+    for (size_t i = 0; i < n; ++i) {
+        ++cnt[codes[i]];
+        if (codes[i] > max_sym) max_sym = codes[i];
+    }
+    int n_present = 0, only = -1;
+    for (int s = 0; s <= max_sym; ++s)
+        if (cnt[s]) { ++n_present; only = s; }
+    if (n_present == 1) { hdr[0] = (uint8_t)only; *hn = 1; return 1; }
+
+    double cost_pre = -1;
+    if (max_sym < def_n) {
+        double c = 0;
+        for (int s = 0; s <= max_sym; ++s)
+            if (cnt[s]) {
+                int32_t dv = defn[s] > 1 ? defn[s] : 1;
+                c += (double)cnt[s] *
+                     -(std::log2((double)dv / (1 << def_log)));
+            }
+        cost_pre = c;
+    }
+    int ceil_np = n_present <= 1 ? 0 : 32 - __builtin_clz(n_present - 1);
+    int nb_len = 0;
+    {   // (n - 1).bit_length() - 2
+        uint64_t v = n - 1;
+        while (v) { ++nb_len; v >>= 1; }
+        nb_len -= 2;
+    }
+    int tl = 5;
+    if (ceil_np > tl) tl = ceil_np;
+    if (nb_len > tl) tl = nb_len;
+    if (tl > max_log) tl = max_log;
+    while ((1 << tl) < n_present) ++tl;
+    int32_t norm[64];
+    fse_normalize(cnt, max_sym + 1, tl, (int64_t)n, norm);
+    BitW hb{};
+    hb.out = hdr;
+    fse_write_ncount(hb, norm, tl, max_sym);
+    double cost_cust = hb.n * 8.0;
+    for (int s = 0; s <= max_sym; ++s)
+        if (cnt[s])
+            cost_cust += (double)cnt[s] *
+                         -(std::log2((double)norm[s] / (1 << tl)));
+    if (cost_pre >= 0 && cost_pre <= cost_cust) {
+        *hn = 0;
+        int32_t dn[64];
+        for (int s = 0; s < def_n; ++s) dn[s] = defn[s];
+        enc->build(dn, def_n, def_log);
+        return 0;
+    }
+    *hn = hb.n;
+    enc->build(norm, max_sym + 1, tl);
+    return 2;
+}
+
+// repeat-offset recode, twin of sequences._recode_repeat_offsets; seqs is
+// (ll, ofv, ml) int32 triples recoded IN PLACE; reps updated in place
+inline void recode_reps(int32_t* seqs, size_t n, int64_t* reps) {
+    int64_t r0 = reps[0], r1 = reps[1], r2 = reps[2];
+    for (size_t i = 0; i < n; ++i) {
+        const int64_t ll = seqs[3 * i];
+        const int64_t off = seqs[3 * i + 1] - 3;
+        int code = 0;
+        if (ll != 0) {
+            if (off == r0) code = 1;
+            else if (off == r1) code = 2;
+            else if (off == r2) code = 3;
+        } else {
+            if (off == r1) code = 1;
+            else if (off == r2) code = 2;
+            else if (off == r0 - 1) code = 3;
+        }
+        if (code == 0) {
+            r2 = r1; r1 = r0; r0 = off;
+        } else {
+            seqs[3 * i + 1] = code;
+            const int rep_idx = code - 1 + (ll == 0 ? 1 : 0);
+            if (rep_idx == 1) { int64_t t = r1; r1 = r0; r0 = t; }
+            else if (rep_idx == 2) {
+                int64_t t = r2; r2 = r1; r1 = r0; r0 = t;
+            } else if (rep_idx == 3) {
+                int64_t t = r0 - 1; r2 = r1; r1 = r0; r0 = t;
+            }
+        }
+    }
+    reps[0] = r0; reps[1] = r1; reps[2] = r2;
+}
+
+// sequences section (twin of sequences.encode_sequences mode='auto');
+// consumes RAW seqs (ofv = offset + 3) + running reps, returns bytes
+// written (>= 1) or ERR_DST. reps updated to the post-block registers.
+inline ptrdiff_t seq_encode(const int32_t* seqs_in, size_t n, int64_t* reps,
+                            uint8_t* out, size_t cap) {
+    size_t w = 0;
+    if (n < 128) {
+        if (cap < 1) return ERR_DST;
+        out[w++] = (uint8_t)n;
+    } else if (n < 0x7F00) {
+        if (cap < 2) return ERR_DST;
+        out[w++] = (uint8_t)((n >> 8) + 128);
+        out[w++] = (uint8_t)(n & 255);
+    } else {
+        if (cap < 3) return ERR_DST;
+        out[w++] = 255;
+        out[w++] = (uint8_t)((n - 0x7F00) & 255);
+        out[w++] = (uint8_t)((n - 0x7F00) >> 8);
+    }
+    if (n == 0) return (ptrdiff_t)w;
+
+    std::vector<int32_t> seqs(seqs_in, seqs_in + 3 * n);
+    recode_reps(seqs.data(), n, reps);
+
+    std::vector<int32_t> llc(n), lln(n), mlc(n), mln(n), ofc(n), ofn(n);
+    for (size_t i = 0; i < n; ++i) {
+        int c, nb;
+        ll_code_of(seqs[3 * i], &c, &nb);
+        llc[i] = c; lln[i] = nb;
+        ml_code_of(seqs[3 * i + 2], &c, &nb);
+        mlc[i] = c; mln[i] = nb;
+        const uint32_t ofv = (uint32_t)seqs[3 * i + 1];
+        ofc[i] = highbit(ofv);
+        ofn[i] = ofc[i];
+    }
+    uint8_t llh[128], ofh[128], mlh[128];
+    int llhn, ofhn, mlhn;
+    FseEncSeq ell, eof_, eml;
+    const int ll_m = channel_plan(llc.data(), n, kLLDefault, 36, 6, 9,
+                                  llh, &llhn, &ell);
+    const int of_m = channel_plan(ofc.data(), n, kOFDefault, 29, 5, 8,
+                                  ofh, &ofhn, &eof_);
+    const int ml_m = channel_plan(mlc.data(), n, kMLDefault, 53, 6, 9,
+                                  mlh, &mlhn, &eml);
+    if (w + 1 + llhn + ofhn + mlhn + 16 > cap) return ERR_DST;
+    out[w++] = (uint8_t)((ll_m << 6) | (of_m << 4) | (ml_m << 2));
+    std::memcpy(out + w, llh, llhn); w += llhn;
+    std::memcpy(out + w, ofh, ofhn); w += ofhn;
+    std::memcpy(out + w, mlh, mlhn); w += mlhn;
+
+    BitW bw{};
+    bw.out = out + w;
+    const size_t bit_cap = cap - w;
+    const size_t last = n - 1;
+    if (ml_m != 1) eml.init_state(mlc[last]);
+    if (of_m != 1) eof_.init_state(ofc[last]);
+    if (ll_m != 1) ell.init_state(llc[last]);
+    bw.add((uint64_t)seqs[3 * last], lln[last]);
+    bw.add((uint64_t)(seqs[3 * last + 2] - 3), mln[last]);
+    {
+        const uint32_t ofv = (uint32_t)seqs[3 * last + 1];
+        bw.add(ofv - (1u << ofc[last]), ofn[last]);
+    }
+    for (size_t ii = n - 1; ii-- > 0;) {
+        if ((size_t)bw.n + 64 > bit_cap) return ERR_DST;
+        if (of_m != 1) eof_.encode(bw, ofc[ii]);
+        if (ml_m != 1) eml.encode(bw, mlc[ii]);
+        if (ll_m != 1) ell.encode(bw, llc[ii]);
+        bw.add((uint64_t)seqs[3 * ii], lln[ii]);
+        bw.add((uint64_t)(seqs[3 * ii + 2] - 3), mln[ii]);
+        const uint32_t ofv = (uint32_t)seqs[3 * ii + 1];
+        bw.add(ofv - (1u << ofc[ii]), ofn[ii]);
+    }
+    if ((size_t)bw.n + 8 > bit_cap) return ERR_DST;
+    if (ml_m != 1) eml.flush(bw);
+    if (of_m != 1) eof_.flush(bw);
+    if (ll_m != 1) ell.flush(bw);
+    bw.close();
+    return (ptrdiff_t)(w + bw.n);
+}
+
+}  // namespace
+
+namespace {
+
+// ---- literals section (twin of zstd_frame.compress_literals) ----
+
+// canonical code assignment (twin of huffman.build_ctable)
+inline void build_codes(const uint8_t* len, uint32_t* codes) {
+    int maxlen = 0;
+    for (int s = 0; s < 256; ++s) if (len[s] > maxlen) maxlen = len[s];
+    std::memset(codes, 0, 256 * sizeof(uint32_t));
+    if (!maxlen) return;
+    uint32_t code = 0;
+    int prev = maxlen;
+    for (int ln = maxlen; ln >= 1; --ln) {
+        code >>= (prev - ln);
+        prev = ln;
+        for (int s = 0; s < 256; ++s)
+            if (len[s] == ln) codes[s] = code++;
+    }
+}
+
+// Compressed_Literals_Block, 4 streams, size_format 3 (5-byte header).
+// Returns section size, or 0 when the block must fall back.
+inline size_t compress_literals_c(const uint8_t* data, size_t n,
+                                  uint8_t* out, size_t cap) {
+    if (n < 64) return 0;
+    int64_t cnt[256] = {0};
+    for (size_t i = 0; i < n; ++i) ++cnt[data[i]];
+    uint8_t len[256];
+    stn_huff_lengths(cnt, 1, 11, len);
+    int n_used = 0;
+    for (int s = 0; s < 256; ++s) if (len[s]) ++n_used;
+    if (n_used < 2) return 0;
+    uint8_t tree[132];
+    const int tsz = huff_tree_desc(len, tree);
+    if (!tsz) return 0;
+    uint32_t codes[256];
+    build_codes(len, codes);
+    const size_t s1 = (n + 3) / 4;
+    // encode the 4 streams backward (decoder reads each backward)
+    std::vector<uint8_t> enc(4 * (s1 * 2 + 8));
+    size_t esz[4];
+    for (int j = 0; j < 4; ++j) {
+        const size_t lo = j * s1;
+        const size_t hi = j == 3 ? n : (j + 1) * s1;
+        BitW bw{};
+        bw.out = enc.data() + j * (s1 * 2 + 8);
+        for (size_t i = hi; i-- > lo;)
+            bw.add(codes[data[i]], len[data[i]]);
+        bw.close();
+        esz[j] = (size_t)bw.n;
+        if (j < 3 && esz[j] > 0xFFFF) return 0;
+    }
+    const size_t csize = tsz + 6 + esz[0] + esz[1] + esz[2] + esz[3];
+    if (csize >= n) return 0;
+    if (5 + csize > cap) return 0;
+    const uint64_t hdr =
+        2ull | (3ull << 2) | ((uint64_t)n << 4) | ((uint64_t)csize << 22);
+    for (int i = 0; i < 5; ++i) out[i] = (uint8_t)(hdr >> (8 * i));
+    size_t w = 5;
+    std::memcpy(out + w, tree, tsz); w += tsz;
+    for (int j = 0; j < 3; ++j) {
+        out[w++] = (uint8_t)(esz[j] & 255);
+        out[w++] = (uint8_t)(esz[j] >> 8);
+    }
+    for (int j = 0; j < 4; ++j) {
+        std::memcpy(out + w, enc.data() + j * (s1 * 2 + 8), esz[j]);
+        w += esz[j];
+    }
+    return w;
+}
+
+// Raw_Literals_Block, size_format 3 (3-byte header)
+inline size_t raw_literals_c(const uint8_t* data, size_t n, uint8_t* out,
+                             size_t cap) {
+    if (3 + n > cap) return 0;
+    const uint32_t hdr = 0 | (3u << 2) | ((uint32_t)n << 4);
+    out[0] = (uint8_t)hdr;
+    out[1] = (uint8_t)(hdr >> 8);
+    out[2] = (uint8_t)(hdr >> 16);
+    std::memcpy(out + 3, data, n);
+    return 3 + n;
+}
+
+// ---- match finding + greedy parse ----
+
+struct ParseOut {
+    std::vector<int32_t> seqs;  // (ll, ofv, ml) triples
+    std::vector<uint8_t> lits;
+    bool ok = false;
+};
+
+// exact nearest-previous-equal-fp4 map (twin of match.find_matches: the
+// stable fingerprint sort's predecessor IS the last earlier occurrence)
+struct Fp4Map {
+    std::vector<uint32_t> key;
+    std::vector<int32_t> pos;
+    uint32_t mask;
+    explicit Fp4Map(size_t n) {
+        size_t sz = 16;
+        while (sz < 2 * n) sz <<= 1;
+        key.assign(sz, 0);
+        pos.assign(sz, -1);
+        mask = (uint32_t)(sz - 1);
+    }
+    static inline uint32_t slot0(uint32_t fp) {
+        return fp * 2654435761u;
+    }
+    inline void put(uint32_t fp, int32_t p) {
+        uint32_t s = slot0(fp) & mask;
+        while (pos[s] >= 0 && key[s] != fp) s = (s + 1) & mask;
+        key[s] = fp;
+        pos[s] = p;
+    }
+    inline int32_t get(uint32_t fp) const {
+        uint32_t s = slot0(fp) & mask;
+        while (pos[s] >= 0) {
+            if (key[s] == fp) return pos[s];
+            s = (s + 1) & mask;
+        }
+        return -1;
+    }
+};
+
+inline uint32_t fp4_at(const uint8_t* d, size_t p) {
+    uint32_t v;
+    std::memcpy(&v, d + p, 4);
+    return v;  // little-endian host; value identity only matters
+}
+
+// Greedy cursor walk shared by both candidate sources. Provider semantics:
+// fill (dist, base_len) for position p, return true when p opens a match.
+template <class Provider>
+inline ParseOut greedy_walk(const uint8_t* data, size_t n, Provider&& cand,
+                            int64_t ml_cap) {
+    ParseOut r;
+    if (n < 8) return r;
+    int64_t total_matched = 0;
+    size_t cursor = 0;
+    r.lits.reserve(n / 4);
+    auto extend = [&](size_t p, int64_t d, int64_t base) {
+        int64_t l = base;
+        if ((int64_t)(n - p) < l) l = n - p;
+        while (p + l < n && data[p + l] == data[p + l - d] && l < ml_cap)
+            ++l;
+        return l;
+    };
+    size_t p = 0;
+    while (true) {
+        if (p < cursor) p = cursor;
+        int64_t d, base;
+        while (p + 4 <= n && !cand(p, &d, &base)) ++p;
+        if (p + 4 > n) break;
+        int64_t l = extend(p, d, base);
+        int64_t d1, b1;
+        if (p + 5 <= n && cand(p + 1, &d1, &b1)) {
+            const int64_t l1 = extend(p + 1, d1, b1);
+            if (l1 > l + 3) { ++p; d = d1; l = l1; }
+        }
+        const size_t ll = p - cursor;
+        r.lits.insert(r.lits.end(), data + cursor, data + p);
+        r.seqs.push_back((int32_t)ll);
+        r.seqs.push_back((int32_t)(d + 3));
+        r.seqs.push_back((int32_t)l);
+        total_matched += l;
+        cursor = p + l;
+        p = cursor;
+    }
+    const int64_t gain_min = n / 64 > 64 ? (int64_t)(n / 64) : 64;
+    if (r.seqs.empty() || total_matched < gain_min) return r;
+    r.lits.insert(r.lits.end(), data + cursor, data + n);
+    r.ok = true;
+    return r;
+}
+
+// host path: on-the-fly fp4 map (twin of match.greedy_parse, ml cap 32772)
+inline ParseOut hash_parse(const uint8_t* data, size_t n) {
+    if (n < 8) return ParseOut{};
+    Fp4Map map(n);
+    size_t inserted = 0;  // positions [0, inserted) are in the map
+    auto provider = [&](size_t p, int64_t* d, int64_t* base) {
+        while (inserted < p) {
+            map.put(fp4_at(data, inserted), (int32_t)inserted);
+            ++inserted;
+        }
+        const int32_t prev = map.get(fp4_at(data, p));
+        if (prev < 0) return false;
+        *d = (int64_t)p - prev;
+        *base = 4;
+        return true;
+    };
+    return greedy_walk(data, n, provider, 32772);
+}
+
+// device-candidate path (twin of match_device._parse_py, uncapped)
+inline ParseOut cand_parse(const uint8_t* data, size_t n,
+                           const int32_t* cand) {
+    auto provider = [&](size_t p, int64_t* d, int64_t* base) {
+        const int32_t c = cand[p];
+        if (!c) return false;
+        *d = c & 0xFFFFFF;
+        *base = 1ll << (c >> 24);
+        return true;
+    };
+    return greedy_walk(data, n, provider, (int64_t)1 << 40);
+}
+
+// offset-1 runs (twin of sequences.find_run_sequences, min_run 8)
+inline ParseOut run_parse(const uint8_t* data, size_t n) {
+    ParseOut r;
+    if (n < 16) return r;
+    int64_t total = 0;
+    std::vector<std::pair<size_t, size_t>> runs;  // (start, byte length)
+    size_t i = 0;
+    while (i + 1 < n) {
+        if (data[i + 1] != data[i]) { ++i; continue; }
+        size_t j = i + 1;
+        while (j + 1 < n && data[j + 1] == data[j]) ++j;
+        const size_t L = j - i + 1;
+        if (L >= 8) { runs.push_back({i, L}); total += (int64_t)L; }
+        i = j + 1;
+    }
+    const int64_t gain_min = n / 64 > 64 ? (int64_t)(n / 64) : 64;
+    if (runs.empty() || total < gain_min) return r;
+    size_t cursor = 0;
+    for (auto& rn : runs) {
+        const size_t s = rn.first;
+        const int64_t ml = (int64_t)rn.second - 1;
+        if (ml < 3) continue;
+        r.lits.insert(r.lits.end(), data + cursor, data + s + 1);
+        r.seqs.push_back((int32_t)(s + 1 - cursor));
+        r.seqs.push_back(4);  // offset_value 4 == offset 1
+        r.seqs.push_back((int32_t)ml);
+        cursor = s + rn.second;
+    }
+    if (r.seqs.empty()) return r;
+    r.lits.insert(r.lits.end(), data + cursor, data + n);
+    r.ok = true;
+    return r;
+}
+
+}  // namespace
+
+// Greedy parse to raw sequence triples. use_cand != 0 reads the device
+// candidate array; otherwise the exact fp4 map runs host-side. Returns
+// nseq (0 = matching not worthwhile) or a negative error; writes
+// (ll, ofv, ml) triples and the literal bytes (nlits[0] = count).
+EXPORT ptrdiff_t stn_match_parse(const uint8_t* data, size_t n,
+                                 const int32_t* cand, int use_cand,
+                                 int32_t* seqs, size_t seq_cap,
+                                 uint8_t* lits, int64_t* nlits) {
+    ParseOut r = use_cand ? cand_parse(data, n, cand) : hash_parse(data, n);
+    nlits[0] = 0;
+    if (!r.ok) return 0;
+    const size_t nseq = r.seqs.size() / 3;
+    if (nseq > seq_cap) return ERR_DST;
+    std::memcpy(seqs, r.seqs.data(), r.seqs.size() * sizeof(int32_t));
+    std::memcpy(lits, r.lits.data(), r.lits.size());
+    nlits[0] = (int64_t)r.lits.size();
+    return (ptrdiff_t)nseq;
+}
+
+// One whole zstd block (twin of zstd_frame.encode_block): RLE check, then
+// the cheapest of {literals-only, run-sequences, greedy-match} candidates,
+// raw fallback. reps: running repeat-offset registers, updated in place to
+// the CHOSEN candidate's post-block state. cand: device candidate array
+// (use_cand != 0) or ignored. Returns block size (header included).
+EXPORT ptrdiff_t stn_encode_block(const uint8_t* data, size_t n,
+                                  const int32_t* cand, int use_cand,
+                                  int last, int64_t* reps, uint8_t* out,
+                                  size_t cap) {
+    if (cap < n + 16) return ERR_DST;
+    if (n == 0) {
+        const uint32_t bh = (uint32_t)(last != 0);
+        out[0] = (uint8_t)bh; out[1] = 0; out[2] = 0;
+        return 3;
+    }
+    bool all_same = true;
+    for (size_t i = 1; i < n && all_same; ++i)
+        all_same = data[i] == data[0];
+    if (all_same) {
+        const uint32_t bh = (uint32_t)(last != 0) | (1u << 1)
+                            | ((uint32_t)n << 3);
+        out[0] = (uint8_t)bh; out[1] = (uint8_t)(bh >> 8);
+        out[2] = (uint8_t)(bh >> 16); out[3] = data[0];
+        return 4;
+    }
+
+    std::vector<uint8_t> best;
+    int64_t best_reps[3];
+    std::vector<uint8_t> buf(2 * n + 1024);
+    // candidate 1: literals-only (registers unchanged)
+    {
+        const size_t ls = compress_literals_c(data, n, buf.data(),
+                                              buf.size());
+        if (ls) {
+            best.assign(buf.data(), buf.data() + ls);
+            best.push_back(0);  // 0 sequences
+            best_reps[0] = reps[0]; best_reps[1] = reps[1];
+            best_reps[2] = reps[2];
+        }
+    }
+    // candidates 2, 3: run sequences, then greedy matches
+    for (int finder = 0; finder < 2; ++finder) {
+        ParseOut r = finder == 0
+                         ? run_parse(data, n)
+                         : (use_cand ? cand_parse(data, n, cand)
+                                     : hash_parse(data, n));
+        if (!r.ok) continue;
+        size_t ls = compress_literals_c(r.lits.data(), r.lits.size(),
+                                        buf.data(), buf.size());
+        if (!ls)
+            ls = raw_literals_c(r.lits.data(), r.lits.size(), buf.data(),
+                                buf.size());
+        if (!ls) continue;
+        int64_t reps_out[3] = {reps[0], reps[1], reps[2]};
+        const ptrdiff_t ss =
+            seq_encode(r.seqs.data(), r.seqs.size() / 3, reps_out,
+                       buf.data() + ls, buf.size() - ls);
+        if (ss <= 0) continue;
+        if (best.empty() || ls + (size_t)ss < best.size()) {
+            best.assign(buf.data(), buf.data() + ls + ss);
+            best_reps[0] = reps_out[0]; best_reps[1] = reps_out[1];
+            best_reps[2] = reps_out[2];
+        }
+    }
+    if (best.empty() || best.size() >= n) {
+        const uint32_t bh = (uint32_t)(last != 0) | ((uint32_t)n << 3);
+        out[0] = (uint8_t)bh; out[1] = (uint8_t)(bh >> 8);
+        out[2] = (uint8_t)(bh >> 16);
+        std::memcpy(out + 3, data, n);
+        return (ptrdiff_t)(3 + n);
+    }
+    if (3 + best.size() > cap) return ERR_DST;
+    const uint32_t bh = (uint32_t)(last != 0) | (2u << 1)
+                        | ((uint32_t)best.size() << 3);
+    out[0] = (uint8_t)bh; out[1] = (uint8_t)(bh >> 8);
+    out[2] = (uint8_t)(bh >> 16);
+    std::memcpy(out + 3, best.data(), best.size());
+    reps[0] = best_reps[0]; reps[1] = best_reps[1]; reps[2] = best_reps[2];
+    return (ptrdiff_t)(3 + best.size());
 }
