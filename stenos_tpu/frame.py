@@ -387,6 +387,22 @@ def compress_generic(ctx, data, bytesoftype: int, dst_size=None) -> bytes:
     return b"".join(out)
 
 
+def next_round_size(recent_rates, rem_t: float, sb: int,
+                    max_r: int = 64) -> int:
+    """Superblocks for the next timed round.
+
+    Sized to ~25% of the remaining budget at the CONSERVATIVE (minimum of
+    the recent rounds) rate, so a round started now overshoots the
+    deadline only if throughput drops below anything recently observed —
+    the P95-safe sizing of VERDICT r2 item 8. The reference bounds
+    overshoot per work item the same way via its per-chunk deadline check
+    (stenos.cpp:936-965); here the bound is one shrinking round."""
+    if not recent_rates:
+        return 1
+    rate_lo = min(recent_rates)
+    return max(1, min(max_r, int(rate_lo * rem_t * 0.25 / sb)))
+
+
 def _timed_rounds(ctx, data, bpp: int, dst_size: int, sb: int, out, pos):
     """Batch-granular time-limited compression with a device engine: ONE
     device dispatch per ROUND of superblocks (a ~27 ms dispatch per chunk
@@ -403,7 +419,7 @@ def _timed_rounds(ctx, data, bpp: int, dst_size: int, sb: int, out, pos):
     n_full = nbytes // sb
     i = 0
     R = 1            # calibration round, then rate-sized
-    rate = None      # EMA bytes/sec through the full pipeline
+    recent = []      # last few measured round rates (bytes/sec)
     while i < n_full:
         blevel = find_block_level(t, 0)
         R = max(1, min(R, n_full - i))
@@ -434,13 +450,12 @@ def _timed_rounds(ctx, data, bpp: int, dst_size: int, sb: int, out, pos):
                 out.append(blob)
                 pos += len(blob)
         dt = max(_time.perf_counter() - t0, 1e-6)
-        r_rate = (R * sb) / dt
-        rate = r_rate if rate is None else 0.5 * rate + 0.5 * r_rate
+        recent.append((R * sb) / dt)
+        if len(recent) > 4:
+            recent.pop(0)
         i += R
-        # next round sized to ~25% of the remaining budget at the measured
-        # rate: overshoot past the deadline is bounded by one round
         rem_t = max((t.nanoseconds - t.elapsed()) * 1e-9, 0.0)
-        R = max(1, min(64, int(rate * rem_t * 0.25 / sb)))
+        R = next_round_size(recent, rem_t, sb)
     if nbytes > n_full * sb:
         chunk = data[n_full * sb :]
         blob = compress_superblock_timed(ctx, chunk, bpp, dst_size - pos,
