@@ -321,11 +321,154 @@ def make_decode_kernel_v2(R: int, unroll: bool = True):
     return kernel
 
 
+def make_decode_kernel_v3(R: int, G: int = 8, unroll: bool = False):
+    """v2 with G streams batched per grid step — the sublane fix.
+
+    v2's per-symbol state ops are (1, S) vectors: one sublane of the
+    (8, 128) vreg carries data, 12.5% utilization. Here G=8 streams run
+    together, so every state vector is (G, S) = a fully-packed vreg pair;
+    the same op chain decodes 8x the bytes. The window gather is also
+    restructured transpose-free: one batched MXU dot_general produces
+    byte-major rows, and the word view comes from slice+concat only.
+    """
+    S = SEGS
+
+    def kernel(sb_ref, anch_ref, tab_ref, out_ref):
+        tab = tab_ref[:, 0, :]                    # (G, 304)
+        r_abs = anch_ref[:, :, 0]                 # (G, S) bit positions
+
+        # ---- window gather: x[g, b, t] = stream byte b of window row t ---
+        lob = jnp.maximum(r_abs - 11 * K, 0) >> 3           # (G, S)
+        row0 = lob >> 7
+        ridx = row0[:, :, None] + _iota((G, S, 3), 2)        # (G, S, 3)
+        ridx = jnp.minimum(ridx, R - 1).reshape(G, 1, S * 3)
+        oh = (_iota((G, R, S * 3), 1) == ridx).astype(jnp.bfloat16)
+        vbf = sb_ref[...].astype(jnp.int32).astype(jnp.bfloat16)  # (G,R,128)
+        x = jax.lax.dot_general(
+            vbf, oh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)   # (G, 128, S*3)
+        xi = x.astype(jnp.int32).reshape(G, 32, 4, S, 3)
+        wrow = (xi[:, :, 0] | (xi[:, :, 1] << 8) | (xi[:, :, 2] << 16)
+                | (xi[:, :, 3] << 24))            # (G, 32, S, 3) LE32
+        w32 = jnp.concatenate(
+            [wrow[:, :, :, 0], wrow[:, :, :, 1], wrow[:, :, :, 2]],
+            axis=1)                               # (G, 96, S) word-major
+
+        ws8 = row0 << 10                          # (G, S) window start bits
+        r = r_abs - ws8                           # window-local bit cursor
+        wsub = _iota((1, 96, 1), 1)
+
+        def fetch(widx):
+            """word at per-(stream, segment) index widx (G, S) from w32."""
+            return jnp.sum(
+                jnp.where(wsub == widx[:, None, :], w32, 0), axis=1)
+
+        pb = jnp.maximum(-(-(r - 64) // 32), 0)
+        lo = fetch(pb)
+        hi = fetch(jnp.minimum(pb + 1, 95))
+
+        # canonical decode per-stream scalars -> (G, 1) columns
+        E = []
+        D = []
+        for l in range(1, 12):
+            base_l = tab[:, l : l + 1]
+            n_l = tab[:, 12 + l : 13 + l]
+            off_l = tab[:, 24 + l : 25 + l]
+            E.append((base_l + n_l) << (11 - l))
+            D.append(off_l - base_l)
+
+        def one(r, pb, lo, hi):
+            s = r - 11 - (pb << 5)
+            sc = jnp.clip(s, 0, 53)
+            Wn = jnp.where(
+                sc >= 32, hi >> (sc - 32),
+                (jax.lax.shift_right_logical(lo, sc)
+                 | ((hi << (31 - sc)) << 1)))
+            rc = jnp.clip(r, 0, 11)
+            Wb = (lo & ((1 << rc) - 1)) << (11 - rc)
+            W = jnp.where(r >= 11, Wn, Wb) & 0x7FF
+            cnt = jnp.zeros((G, S), jnp.int32)
+            for l in range(11):
+                cnt = cnt + (W >= E[l]).astype(jnp.int32)
+            ln = 11 - cnt
+            cand = W >> (11 - ln)
+            dd = jnp.zeros((G, S), jnp.int32)
+            for l in range(11):
+                dd = jnp.where(ln == l + 1, D[l], dd)
+            return ln, cand + dd
+
+        def pair(carry):
+            r, pb, lo, hi = carry
+            need = (pb > 0) & ((pb << 5) > r - 33)
+            pbn = pb - 1
+            nlo = fetch(jnp.maximum(pbn, 0))
+            pb = jnp.where(need, pbn, pb)
+            hi = jnp.where(need, lo, hi)
+            lo = jnp.where(need, nlo, lo)
+            ln0, idx0 = one(r, pb, lo, hi)
+            r = r - ln0
+            ln1, idx1 = one(r, pb, lo, hi)
+            r = r - ln1
+            return (r, pb, lo, hi), idx0, idx1
+
+        if unroll:
+            cols = []
+            carry = (r, pb, lo, hi)
+            for _ in range(K // 2):
+                carry, idx0, idx1 = pair(carry)
+                cols += [idx0[:, None, :], idx1[:, None, :]]
+            ranks = jnp.concatenate(cols, axis=1)  # (G, K, S)
+        else:
+            kcol = _iota((1, K, S), 1)
+
+            def step(k2, st):
+                carry, ranks = st
+                carry, idx0, idx1 = pair(carry)
+                ranks = jnp.where(kcol == 2 * k2, idx0[:, None, :], ranks)
+                ranks = jnp.where(kcol == 2 * k2 + 1, idx1[:, None, :],
+                                  ranks)
+                return carry, ranks
+
+            _, ranks = jax.lax.fori_loop(
+                0, K // 2, step,
+                ((r, pb, lo, hi), jnp.zeros((G, K, S), jnp.int32)))
+
+        out = jnp.zeros((G, K, S), jnp.int32)
+        for sym in range(256):
+            out = jnp.where(ranks == sym, tab[:, 40 + sym][:, None, None],
+                            out)
+        out_ref[...] = out.transpose(0, 2, 1)
+
+    return kernel
+
+
+DECODE_G = 8  # streams per v3 grid step
+
+
 @lru_cache(maxsize=16)
 def _decode_call(ns: int, R: int, interpret: bool, v: int = 1):
     # unroll=False everywhere: measured identical to the full unroll on
     # TPU (the remaining cost is the per-symbol op chain), and the fori
     # form traces/compiles an order of magnitude faster
+    if v == 3:
+        G = DECODE_G
+        kernel = make_decode_kernel_v3(R, G, unroll=False)
+        return pl.pallas_call(
+            kernel,
+            grid=(ns // G,),
+            in_specs=[
+                pl.BlockSpec((G, R, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, SEGS, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, 1, 304), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((G, SEGS, K), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ns, SEGS, K), jnp.int32),
+            interpret=interpret,
+        )
     kernel = make_decode_kernel_v2(R, unroll=False) if v == 2 \
         else make_decode_kernel(R)
     return pl.pallas_call(
@@ -353,12 +496,26 @@ def decode_streams_device(stream_bytes, anchors, tables,
     (anchors[g] = incl_bits at emission index STREAM-1-g*K; the encoder's
     per-row prefix column reversed); tables (ns, 304) int32 from
     decode_tables. Returns (ns, 32768) int32 symbols."""
+    import jax.numpy as _jnp
+
     ns = stream_bytes.shape[0]
     R = stream_bytes.shape[1] // 128
-    call = _decode_call(ns, R, interpret, v)
+    if v == 3 and ns % DECODE_G:
+        # pad the stream batch to the v3 group size (padding decodes to
+        # discarded garbage; anchors 0 keep every cursor in-bounds)
+        pad = DECODE_G - ns % DECODE_G
+        stream_bytes = _jnp.concatenate(
+            [stream_bytes,
+             _jnp.zeros((pad, R * 128), stream_bytes.dtype)], axis=0)
+        anchors = _jnp.concatenate(
+            [anchors, _jnp.zeros((pad, SEGS), anchors.dtype)], axis=0)
+        tables = _jnp.concatenate(
+            [tables, _jnp.zeros((pad, 304), tables.dtype)], axis=0)
+    nsp = stream_bytes.shape[0]
+    call = _decode_call(nsp, R, interpret, v)
     out = call(
-        stream_bytes.reshape(ns, R, 128),
-        anchors.reshape(ns, SEGS, 1),
-        tables.reshape(ns, 1, 304),
+        stream_bytes.reshape(nsp, R, 128),
+        anchors.reshape(nsp, SEGS, 1),
+        tables.reshape(nsp, 1, 304),
     )
-    return out.reshape(ns, STREAM)
+    return out.reshape(nsp, STREAM)[:ns]

@@ -141,3 +141,41 @@ def test_device_entropy_decode_transposed_methods(rng):
             == raw.tobytes(), method
         out = fr.decompress(frame, bpp, engine=JaxEngine())
         assert bytes(memoryview(np.asarray(out))) == raw.tobytes(), method
+
+
+def test_decode_kernel_v3_matches_v2(rng):
+    """G-batched (full-vreg) decode kernel: bit-exact vs v2 and the host
+    symbols, odd stream count exercising the group padding."""
+    from stenos_tpu.entropy.huff_decode_pallas import (anchors_host,
+                                                       decode_streams_device,
+                                                       decode_tables)
+
+    ns = 3  # pads to 8
+    raw, anchs, tabs = [], [], []
+    rmax = 0
+    for i in range(ns):
+        if i == 0:
+            d = rng.normal(128, 20, STREAM).clip(0, 255).astype(np.uint8)
+        elif i == 1:
+            d = rng.zipf(1.3, STREAM).clip(1, 255).astype(np.uint8)
+        else:
+            d = (rng.integers(0, 16, STREAM) * 16).astype(np.uint8)
+        counts = np.bincount(d, minlength=256)
+        lens = code_lengths(counts)
+        codes, lens = build_ctable(lens)
+        enc = huf_encode_stream(d, codes, lens)
+        raw.append((d, enc))
+        anchs.append(anchors_host(d, np.asarray(lens)))
+        tabs.append(decode_tables(lens)[0])
+        rmax = max(rmax, (len(enc) + 127) // 128)
+    sb = np.zeros((ns, rmax * 128), np.uint8)
+    for i, (_, enc) in enumerate(raw):
+        sb[i, : len(enc)] = np.frombuffer(enc, np.uint8)
+    anchs = np.stack(anchs)
+    tabs = np.stack(tabs)
+    for v in (2, 3):
+        out = np.asarray(decode_streams_device(
+            jnp.asarray(sb), jnp.asarray(anchs), jnp.asarray(tabs),
+            interpret=True, v=v))
+        for i, (d, _) in enumerate(raw):
+            assert (out[i] == d).all(), (v, i)
