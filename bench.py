@@ -286,7 +286,7 @@ def main():
 
         ent_dec_v = {}
         got = None
-        for kv in (2, 3):
+        for kv in (2, 3, 4):
             from functools import partial
 
             @partial(jax.jit, static_argnames=("v",))

@@ -321,7 +321,8 @@ def make_decode_kernel_v2(R: int, unroll: bool = True):
     return kernel
 
 
-def make_decode_kernel_v3(R: int, G: int = 8, unroll: bool = False):
+def make_decode_kernel_v3(R: int, G: int = 8, unroll: bool = False,
+                          two_level: bool = False):
     """v2 with G streams batched per grid step — the sublane fix.
 
     v2's per-symbol state ops are (1, S) vectors: one sublane of the
@@ -397,21 +398,70 @@ def make_decode_kernel_v3(R: int, G: int = 8, unroll: bool = False):
                 dd = jnp.where(ln == l + 1, D[l], dd)
             return ln, cand + dd
 
-        def pair(carry):
-            r, pb, lo, hi = carry
-            need = (pb > 0) & ((pb << 5) > r - 33)
-            pbn = pb - 1
-            nlo = fetch(jnp.maximum(pbn, 0))
-            pb = jnp.where(need, pbn, pb)
-            hi = jnp.where(need, lo, hi)
-            lo = jnp.where(need, nlo, lo)
-            ln0, idx0 = one(r, pb, lo, hi)
-            r = r - ln0
-            ln1, idx1 = one(r, pb, lo, hi)
-            r = r - ln1
-            return (r, pb, lo, hi), idx0, idx1
+        def make_pair(fetch_fn):
+            def pair(carry):
+                r, pb, lo, hi = carry
+                need = (pb > 0) & ((pb << 5) > r - 33)
+                pbn = pb - 1
+                nlo = fetch_fn(jnp.maximum(pbn, 0))
+                pb = jnp.where(need, pbn, pb)
+                hi = jnp.where(need, lo, hi)
+                lo = jnp.where(need, nlo, lo)
+                ln0, idx0 = one(r, pb, lo, hi)
+                r = r - ln0
+                ln1, idx1 = one(r, pb, lo, hi)
+                r = r - ln1
+                return (r, pb, lo, hi), idx0, idx1
+            return pair
 
-        if unroll:
+        if two_level:
+            # ---- two-level fetch: refills read a 16-word ALIGNED working
+            # set (two 8-word groups straddling the cursor), refreshed every
+            # 16 symbols — a one-of-12 group select per 16 symbols plus a
+            # one-of-16 select per refill, instead of one-of-96 every two
+            # symbols (the dominant v3 cost). 16 symbols consume <= 176
+            # bits < the >= 8-word (256-bit) cover below the start group.
+            wg = w32.reshape(G, 12, 8, S)
+            gsub = _iota((1, 12, 1, 1), 1)
+            kcol = _iota((1, K, S), 1)
+
+            def refresh(pb):
+                a = pb >> 3                       # current 8-word group
+                abase = jnp.maximum(a - 1, 0)
+                g_hi = jnp.sum(
+                    jnp.where(gsub == a[:, None, None, :], wg, 0), axis=1)
+                g_lo = jnp.sum(
+                    jnp.where(gsub == abase[:, None, None, :], wg, 0),
+                    axis=1)
+                ws = jnp.concatenate([g_lo, g_hi], axis=1)  # (G, 16, S)
+                return ws, abase << 3
+
+            wssub = _iota((1, 16, 1), 1)
+
+            def step(k16, st):
+                carry, ranks = st
+                r, pb, lo, hi = carry
+                ws, wb = refresh(pb)
+
+                def fetch_ws(widx):
+                    loc = (widx - wb)[:, None, :]
+                    return jnp.sum(jnp.where(wssub == loc, ws, 0), axis=1)
+
+                pair = make_pair(fetch_ws)
+                carry = (r, pb, lo, hi)
+                for u in range(8):
+                    carry, idx0, idx1 = pair(carry)
+                    kk = k16 * 16 + 2 * u
+                    ranks = jnp.where(kcol == kk, idx0[:, None, :], ranks)
+                    ranks = jnp.where(kcol == kk + 1, idx1[:, None, :],
+                                      ranks)
+                return carry, ranks
+
+            _, ranks = jax.lax.fori_loop(
+                0, K // 16, step,
+                ((r, pb, lo, hi), jnp.zeros((G, K, S), jnp.int32)))
+        elif unroll:
+            pair = make_pair(fetch)
             cols = []
             carry = (r, pb, lo, hi)
             for _ in range(K // 2):
@@ -419,6 +469,7 @@ def make_decode_kernel_v3(R: int, G: int = 8, unroll: bool = False):
                 cols += [idx0[:, None, :], idx1[:, None, :]]
             ranks = jnp.concatenate(cols, axis=1)  # (G, K, S)
         else:
+            pair = make_pair(fetch)
             kcol = _iota((1, K, S), 1)
 
             def step(k2, st):
@@ -450,9 +501,10 @@ def _decode_call(ns: int, R: int, interpret: bool, v: int = 1):
     # unroll=False everywhere: measured identical to the full unroll on
     # TPU (the remaining cost is the per-symbol op chain), and the fori
     # form traces/compiles an order of magnitude faster
-    if v == 3:
+    if v in (3, 4):
         G = DECODE_G
-        kernel = make_decode_kernel_v3(R, G, unroll=False)
+        kernel = make_decode_kernel_v3(R, G, unroll=False,
+                                       two_level=(v == 4))
         return pl.pallas_call(
             kernel,
             grid=(ns // G,),
@@ -500,7 +552,7 @@ def decode_streams_device(stream_bytes, anchors, tables,
 
     ns = stream_bytes.shape[0]
     R = stream_bytes.shape[1] // 128
-    if v == 3 and ns % DECODE_G:
+    if v in (3, 4) and ns % DECODE_G:
         # pad the stream batch to the v3 group size (padding decodes to
         # discarded garbage; anchors 0 keep every cursor in-bounds)
         pad = DECODE_G - ns % DECODE_G
