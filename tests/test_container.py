@@ -107,6 +107,28 @@ def test_eviction_bounded(rng):
         assert v[int(i)] == data[int(i)]
 
 
+def test_eviction_is_lru(rng):
+    """Overflow packs the LEAST recently used bucket (the cvector
+    free-context-list analog), not the lowest-indexed one."""
+    data = rng.integers(0, 1 << 20, 1024 * 64).astype(np.int32)
+    v = CompressedArray(np.int32, block_shift=2, max_raw_buckets=3)
+    v.extend(data)  # 1024-element chunks -> 64 buckets
+    nb = len(v._buckets)
+    assert nb >= 8
+    # touch buckets 0 and 1 (decompress them), then 2: bucket at the
+    # *front* must stay resident (recently used) while older residents go
+    _ = v[0]
+    _ = v[v.chunk_elems]
+    _ = v[2 * v.chunk_elems]
+    assert v._buckets[2].raw is not None
+    _ = v[3 * v.chunk_elems]  # forces an eviction beyond the limit
+    # bucket 0 was the least recently used of the tracked residents
+    assert v._buckets[3].raw is not None
+    # reads stay correct regardless of residency
+    for i in rng.integers(0, len(data), 40):
+        assert v[int(i)] == data[int(i)]
+
+
 def test_insert_erase_resize(rng):
     data = rng.integers(0, 1 << 30, 3000).astype(np.int32)
     v = CompressedArray(np.int32, level=2)
