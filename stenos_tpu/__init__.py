@@ -16,8 +16,18 @@ from .frame import (
     compress,
     compress_generic,
     decompress,
+    decompress_generic,
     get_info,
 )
+from .utils.timer import Timer
+
+
+def has_error(code) -> bool:
+    """stenos_has_error parity: negative size results are error codes."""
+    try:
+        return int(code) < 0
+    except (TypeError, ValueError):
+        return isinstance(code, StenosError)
 
 __version__ = "0.1.0"
 
@@ -62,8 +72,11 @@ __all__ = [
     "compress_generic",
     "compress_sharded",
     "decompress",
+    "decompress_generic",
     "decompress_sharded",
     "get_info",
+    "has_error",
+    "Timer",
     "compress_bound",
     "super_block_size",
     "StenosError",

@@ -348,6 +348,15 @@ def compress_superblock_timed(ctx, chunk: np.ndarray, bpp: int,
     return emit(METHOD_BLOCK_ZSTD, result)
 
 
+def decompress_generic(ctx, frame, bytesoftype: int, dst_size=None):
+    """stenos_decompress_generic equivalent (stenos.h:211): decompress
+    driven by a Context — the context supplies the engine (the TPU analog
+    of the reference's per-context thread pool) and, when set, the mesh."""
+    return decompress(frame, bytesoftype, dst_size=dst_size,
+                      engine=ctx.engine,
+                      mesh=getattr(ctx, "mesh", None))
+
+
 def compress_generic(ctx, data, bytesoftype: int, dst_size=None) -> bytes:
     """stenos_compress_generic equivalent driven by a Context (incl.
     time-limited mode)."""

@@ -114,3 +114,17 @@ def test_timed_overshoot_bound(rng):
     elapsed = time.perf_counter_ns() - t0
     assert st.decompress(frame, 4).tobytes() == data
     assert elapsed < budget_ns * 1.5 + 300_000_000, elapsed
+
+
+def test_decompress_generic_and_timer(rng):
+    """stenos_decompress_generic / stenos_timer / stenos_has_error parity
+    (stenos.h:211, 258-288)."""
+    data = gen_elements(rng, 4, 100_000, "sorted")
+    ctx = st.Context()
+    frame = st.compress_generic(ctx, data, 4)
+    t = st.Timer()
+    t.tick()
+    out = st.decompress_generic(ctx, frame, 4)
+    assert t.tock() > 0
+    assert out.tobytes() == data
+    assert st.has_error(-6) and not st.has_error(len(frame))
