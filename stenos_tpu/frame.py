@@ -348,6 +348,57 @@ def compress_superblock_timed(ctx, chunk: np.ndarray, bpp: int,
     return emit(METHOD_BLOCK_ZSTD, result)
 
 
+def private_block_size(src) -> int:
+    """stenos_private_block_size parity (stenos.cpp:806-816): compressed
+    record size (code byte + 3-byte csize + payload) of the superblock
+    record at src."""
+    src = bytes(memoryview(src)[:4])
+    if len(src) < 4:
+        raise StenosError(ERROR_SRC_OVERFLOW)
+    return int.from_bytes(src[1:4], "little") + 4
+
+
+def private_block_csize(src) -> int:
+    """stenos_private_block_csize parity (stenos.cpp:817-828)."""
+    if not src:
+        return 0
+    return private_block_size(src)
+
+
+def private_compress_block(ctx, data, bytesoftype: int,
+                           super_block_size: int, dst_size=None) -> bytes:
+    """stenos_private_compress_block parity (stenos.cpp:768-779): one
+    superblock record (the cvector bucket unit), context-driven."""
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        data = np.frombuffer(bytes(data), np.uint8)
+    if dst_size is None:
+        dst_size = compress_bound(len(data))
+    return compress_superblock(data, bytesoftype, ctx.level, dst_size,
+                               engine=ctx.engine)
+
+
+def private_decompress_block(ctx, src, bytesoftype: int,
+                             super_block_size: int, nbytes: int):
+    """stenos_private_decompress_block parity (stenos.cpp:780-805)."""
+    src = bytes(memoryview(src))
+    if len(src) < 4:
+        raise StenosError(ERROR_SRC_OVERFLOW)
+    code = src[0]
+    csize = int.from_bytes(src[1:4], "little")
+    if len(src) < 4 + csize:
+        raise StenosError(ERROR_SRC_OVERFLOW)
+    return decompress_superblock(code, src[4 : 4 + csize], bytesoftype,
+                                 nbytes, engine=ctx.engine)
+
+
+def private_create_compression_header(decompressed_size: int,
+                                      super_block_size: int) -> bytes:
+    """stenos_private_create_compression_header parity
+    (stenos.cpp:829-843): custom-superblock frame header (code 255)."""
+    return (bytes([255]) + decompressed_size.to_bytes(7, "little")
+            + super_block_size.to_bytes(4, "little"))
+
+
 def decompress_generic(ctx, frame, bytesoftype: int, dst_size=None):
     """stenos_decompress_generic equivalent (stenos.h:211): decompress
     driven by a Context — the context supplies the engine (the TPU analog

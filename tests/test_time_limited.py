@@ -128,3 +128,24 @@ def test_decompress_generic_and_timer(rng):
     assert t.tock() > 0
     assert out.tobytes() == data
     assert st.has_error(-6) and not st.has_error(len(frame))
+
+
+def test_private_block_api(rng):
+    """stenos_private_* parity (stenos.h:294-301): the cvector bucket unit
+    — one superblock record compress/parse/decompress + custom header."""
+    from stenos_tpu.frame import (private_block_csize, private_block_size,
+                                  private_compress_block,
+                                  private_create_compression_header,
+                                  private_decompress_block)
+
+    data = gen_elements(rng, 4, 65536, "sorted")
+    ctx = st.Context(level=2)
+    rec = private_compress_block(ctx, data, 4, st.super_block_size(4))
+    assert private_block_size(rec) == len(rec) == private_block_csize(rec)
+    out = private_decompress_block(ctx, rec, 4, st.super_block_size(4),
+                                   len(data))
+    assert bytes(memoryview(np.asarray(out))) == data
+    hdr = private_create_compression_header(len(data), 1 << 20)
+    assert len(hdr) == 12 and hdr[0] == 255
+    assert int.from_bytes(hdr[1:8], "little") == len(data)
+    assert int.from_bytes(hdr[8:12], "little") == 1 << 20
