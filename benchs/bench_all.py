@@ -54,6 +54,22 @@ def datasets(mb: int, rng):
     yield "sorted i32", 4, np.sort(
         rng.integers(0, 1 << 30, ni, dtype=np.int64).astype("<u4")).tobytes()
 
+    # repeated records (period-64 LZ matches: the sequences-path family)
+    rec = rng.integers(0, 256, 64).astype(np.uint8)
+    recs = np.tile(rec, n // 64)
+    recs[rng.integers(0, len(recs), len(recs) // 64)] = rng.integers(
+        0, 256, len(recs) // 64)
+    yield "records u8", 1, recs.tobytes()
+
+    # byte runs (offset-1 matches / repcode family)
+    runs = []
+    t = 0
+    while t < n:
+        ln = int(rng.integers(4, 200))
+        runs.append(np.full(ln, rng.integers(0, 256), np.uint8))
+        t += ln
+    yield "runs u8", 1, np.concatenate(runs)[:n].tobytes()
+
 
 def main():
     ap = argparse.ArgumentParser()
