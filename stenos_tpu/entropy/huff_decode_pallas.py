@@ -542,12 +542,20 @@ def _decode_call(ns: int, R: int, interpret: bool, v: int = 1):
 
 
 def decode_streams_device(stream_bytes, anchors, tables,
-                          interpret: bool = False, v: int = 2):
+                          interpret: bool = False, v: int | None = None):
     """stream_bytes (ns, R*128) uint8 (huffman bitstreams, zero-padded);
     anchors (ns, 256) int32 — bit read-position of segment g's first symbol
     (anchors[g] = incl_bits at emission index STREAM-1-g*K; the encoder's
     per-row prefix column reversed); tables (ns, 304) int32 from
-    decode_tables. Returns (ns, 32768) int32 symbols."""
+    decode_tables. Returns (ns, 32768) int32 symbols.
+
+    v: kernel version (2 = per-stream, 3 = 8-stream batched, 4 = 3 +
+    two-level refill); None reads STENOS_HUF_DECODE_V (default 2) so
+    hardware A/B needs no code edits."""
+    if v is None:
+        import os
+
+        v = int(os.environ.get("STENOS_HUF_DECODE_V", "2"))
     import jax.numpy as _jnp
 
     ns = stream_bytes.shape[0]

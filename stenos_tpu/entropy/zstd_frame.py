@@ -221,6 +221,8 @@ def encode_frame_device(data, interpret: bool = False,
         # positives size-neutral.
         cands = {}
         try:
+            import os
+
             from .match_device import match_candidates, matchiness
 
             CHUNK = 16
@@ -235,6 +237,8 @@ def encode_frame_device(data, interpret: bool = False,
                 mfrac[sel] = matchiness(pad)[: len(sel)]
             runny = runny | (mfrac >= 1 / 8)
             runny_idx = np.flatnonzero(runny)
+            if os.environ.get("STENOS_DEVICE_MATCH", "1") == "0":
+                runny_idx = runny_idx[:0]  # A/B knob: host fp4-map walk
             for off in range(0, len(runny_idx), CHUNK):
                 sel = runny_idx[off : off + CHUNK]
                 nb = 1
