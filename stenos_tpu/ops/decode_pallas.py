@@ -431,6 +431,20 @@ def decode_slabs_jit(vbufs, plane_off, rowtab, bpp: int, nb: int,
     return decode_slabs_body(vbufs, plane_off, rowtab, bpp, nb, interpret)
 
 
+def _nb_pad_dec(nb: int) -> int | None:
+    """Mirror of encode_pallas._nb_pad for the decode kernels: odd sublane
+    counts are padded to even by REPLICATING the last block's index entries
+    (the duplicate block re-decodes real data and is sliced off), so P and
+    nb stay Mosaic-friendly. STENOS_NB_PAD=0 disables."""
+    import os
+
+    if os.environ.get("STENOS_NB_PAD", "1") in ("0", "false"):
+        return None
+    if nb > 1 and nb % 2:
+        return nb + 1
+    return None
+
+
 def decode_slabs_body(vbufs, plane_off, rowtab, bpp: int, nb: int,
                       interpret: bool = False):
     """vbufs (n_sb, R*128) uint8 virtual payloads; plane_off (n_sb, P) i32;
@@ -439,6 +453,18 @@ def decode_slabs_body(vbufs, plane_off, rowtab, bpp: int, nb: int,
     (n_sb, nb, 64*bpp) — callers .view(uint8) on the host."""
     n_sb = vbufs.shape[0]
     R = vbufs.shape[1] // 128
+    nbp = _nb_pad_dec(nb)
+    if nbp is not None:
+        # 'bj' order (p = block*bpp + plane): replicate the last block
+        po = plane_off.reshape(n_sb, nb, bpp)
+        po = jnp.concatenate([po, po[:, -1:, :]], axis=1)
+        rt = rowtab.reshape(n_sb, 16, nb, bpp)
+        rt = jnp.concatenate([rt, rt[:, :, -1:, :]], axis=2)
+        call = _build_call(n_sb, bpp, nbp, R, interpret)
+        out = call(vbufs.reshape(n_sb, R, 128),
+                   po.reshape(n_sb, 1, nbp * bpp),
+                   rt.reshape(n_sb, 16, nbp * bpp))
+        return out[:, :nb]
     call = _build_call(n_sb, bpp, nb, R, interpret)
     return call(
         vbufs.reshape(n_sb, R, 128),
@@ -464,6 +490,18 @@ def decode_slabs_derive_body(vbufs, plane_off, bpp: int, nb: int,
     (encoder order, p = plane*nb + block)."""
     n_sb = vbufs.shape[0]
     R = vbufs.shape[1] // 128
+    nbp = _nb_pad_dec(nb)
+    if nbp is not None:
+        if plane_order == "jb":
+            po = plane_off.reshape(n_sb, bpp, nb)
+            po = jnp.concatenate([po, po[:, :, -1:]], axis=2)
+        else:
+            po3 = plane_off.reshape(n_sb, nb, bpp)
+            po = jnp.concatenate([po3, po3[:, -1:, :]], axis=1)
+        call = _build_call(n_sb, bpp, nbp, R, interpret, True, plane_order)
+        out = call(vbufs.reshape(n_sb, R, 128),
+                   po.reshape(n_sb, 1, nbp * bpp))
+        return out[:, :nb]
     call = _build_call(n_sb, bpp, nb, R, interpret, True, plane_order)
     return call(
         vbufs.reshape(n_sb, R, 128),

@@ -186,8 +186,15 @@ def _sub_cumsum(v, n):
 
 
 def make_encode_kernel(bpp: int, nb: int, block_level: int,
-                       mode: str = "xposed", with_index: bool = False):
+                       mode: str = "xposed", with_index: bool = False,
+                       nb_real: int | None = None):
     """Kernel body (closure over static config).
+
+    nb_real: when set (< nb), lanes [nb_real, nb) are zero-filled dummy
+    blocks whose emission is fully masked (their valid bits are zeroed), so
+    the compacted stream is byte-identical to an nb_real-lane kernel. Used
+    to pad awkward odd sublane counts (e.g. bpp=13's nb=39, the nb=147
+    shape) up to even ones that Mosaic lays out without exploding.
 
     mode='words': input block is (1, nb, 64*bpp) int32 — the superblock's
     natural bytes viewed as little-endian 32-bit words (a FREE host/device
@@ -366,6 +373,16 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
         lenR = jnp.where(code_row == 1, 16,
                          jnp.where(normal_row, lenR, 0))
 
+        if nb_real is not None and nb_real < nb:
+            # dummy pad lanes emit nothing: zero every per-lane length so
+            # packv's valid bits (and hence the flat compaction and csize)
+            # exclude them entirely
+            okP = _iota((bpp, nb), 1) < nb_real
+            okG = _iota((G, nb), 1) < nb_real
+            lenA = jnp.where(okP, lenA, 0)
+            lenB = jnp.where(okP, lenB, 0)
+            lenR = jnp.where(okG, lenR, 0)
+
         if with_index:
             # decode index emitted AT ENCODE TIME: plane offsets with the
             # 2-bit plane code packed in bits 24-25 — everything else the
@@ -391,7 +408,12 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
             cpad = jnp.concatenate(
                 [codes, jnp.zeros((1, nb), jnp.int32)], axis=0)
         c2 = cpad.reshape(hdr_w, 2, nb)
-        bhdr = (c2[:, 0, :] | (c2[:, 1, :] << 4)) | (1 << 8)
+        bhdr = c2[:, 0, :] | (c2[:, 1, :] << 4)
+        if nb_real is not None and nb_real < nb:
+            okH = _iota((hdr_w, nb), 1) < nb_real
+            bhdr = bhdr | jnp.where(okH, 1 << 8, 0)
+        else:
+            bhdr = bhdr | (1 << 8)
         sp_ref[4:4 + hdr_w, :] = bhdr
 
         headA_p = packv(headA, lenA)
@@ -453,8 +475,9 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
 @lru_cache(maxsize=64)
 def _build_call(n_sb: int, bpp: int, nb: int, block_level: int,
                 interpret: bool, mode: str = "xposed",
-                with_index: bool = False):
-    kernel, V = make_encode_kernel(bpp, nb, block_level, mode, with_index)
+                with_index: bool = False, nb_real: int | None = None):
+    kernel, V = make_encode_kernel(bpp, nb, block_level, mode, with_index,
+                                   nb_real)
     if mode == "words":
         in_spec = pl.BlockSpec((1, nb, 64 * bpp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
@@ -500,6 +523,28 @@ def _build_call(n_sb: int, bpp: int, nb: int, block_level: int,
     ), V
 
 
+def _nb_pad(nb: int) -> int | None:
+    """Padded lane count for awkward sublane shapes, or None to run as-is.
+
+    Odd nb (bpp=13's nb=39, the nb=147 superblock) makes Mosaic's scoped-
+    VMEM packing/relayouts explode (NOTES.md); one zero dummy block rounds
+    the sublane axis up to even and its emission is fully masked, so the
+    stream stays byte-identical. STENOS_NB_PAD=0 disables (hardware A/B)."""
+    import os
+
+    if os.environ.get("STENOS_NB_PAD", "1") in ("0", "false"):
+        return None
+    if nb > 1 and nb % 2:
+        return nb + 1
+    return None
+
+
+def _pad_blocks(data, n_sb: int, nb: int, nbp: int, block_size: int):
+    blocks = data.reshape(n_sb, nb, block_size)
+    return jnp.pad(blocks, ((0, 0), (0, nbp - nb), (0, 0))).reshape(
+        n_sb, nbp * block_size)
+
+
 def encode_slabs_body(data, bpp: int, block_level: int,
                       interpret: bool = False):
     """data (n_sb, sbytes=nb*256*bpp) uint8 ->
@@ -511,6 +556,11 @@ def encode_slabs_body(data, bpp: int, block_level: int,
     n_sb, sbytes = data.shape
     block_size = 256 * bpp
     nb = sbytes // block_size
+    nbp = _nb_pad(nb)
+    nb_real = None
+    if nbp is not None:
+        data = _pad_blocks(data, n_sb, nb, nbp, block_size)
+        nb_real, nb = nb, nbp
     # FREE reinterpret: bytes -> LE32 words; the plane split happens
     # in-kernel (one VMEM transpose + shifts + a leading-axes transpose)
     # instead of an XLA byte transpose (which ran at ~0.55 GB/s and
@@ -518,10 +568,14 @@ def encode_slabs_body(data, bpp: int, block_level: int,
     # always a whole number of 32-bit words.
     words = jax.lax.bitcast_convert_type(
         data.reshape(n_sb, nb, 64 * bpp, 4), jnp.int32)
-    call, V = _build_call(n_sb, bpp, nb, block_level, interpret, "words")
+    call, V = _build_call(n_sb, bpp, nb, block_level, interpret, "words",
+                          False, nb_real)
     out, bsizes, fsizes = call(words)
     bsizes = bsizes[:, 0, :]
     fsizes = fsizes[:, 0, :]
+    if nb_real is not None:
+        bsizes = bsizes[:, :nb_real]
+        fsizes = fsizes[:, :nb_real]
     rows = out.reshape(n_sb, nb * V)
     totals = 4 + jnp.sum(bsizes, axis=-1)
     return rows, totals, bsizes, fsizes
@@ -546,16 +600,26 @@ def encode_slabs_index_body(data, bpp: int, block_level: int,
     n_sb, sbytes = data.shape
     block_size = 256 * bpp
     nb = sbytes // block_size
+    nbp = _nb_pad(nb)
+    nb_real = None
+    if nbp is not None:
+        data = _pad_blocks(data, n_sb, nb, nbp, block_size)
+        nb_real, nb = nb, nbp
     words = jax.lax.bitcast_convert_type(
         data.reshape(n_sb, nb, 64 * bpp, 4), jnp.int32)
     call, V = _build_call(n_sb, bpp, nb, block_level, interpret, "words",
-                          True)
+                          True, nb_real)
     out, bsizes, fsizes, po_raw = call(words)
     bsizes = bsizes[:, 0, :]
     fsizes = fsizes[:, 0, :]
+    if nb_real is not None:
+        bsizes = bsizes[:, :nb_real]
+        fsizes = fsizes[:, :nb_real]
+        po_raw = po_raw[:, :, :nb_real]
     rows = out.reshape(n_sb, nb * V)
     totals = 4 + jnp.sum(bsizes, axis=-1)
-    plane_off = po_raw.reshape(n_sb, bpp * nb)  # 'jb' order, free reshape
+    # 'jb' order, free reshape (pad lanes already sliced off)
+    plane_off = po_raw.reshape(n_sb, -1)
     return rows, totals, bsizes, fsizes, plane_off
 
 
