@@ -9,10 +9,13 @@ TRANSPOSED_DELTA_ZSTD (and method-5 residuals). Two tiers:
    decode on the TPU (huff_decode_pallas).
 2. Sequence-bearing and foreign (libzstd-produced) frames: the host does
    the O(nseq) index work — native FSE sequence decode (stn_zstd_seqs)
-   compiled into a W-chunked copy-op program (stn_seq_ops) — plus literal
-   decode for blocks without sidecar anchors; the TPU executes the bulk
-   match reconstruction (seq_exec.run_programs) and the result stays in
-   HBM for the follow-on unshuffle / delta_inv.
+   compiled into a W-chunked copy-op program (stn_seq_ops); the TPU
+   executes the bulk match reconstruction (seq_exec.run_programs) and the
+   result stays in HBM for the follow-on unshuffle / delta_inv. Literal
+   bytes of ANY block with sidecar anchors — sequence-bearing included
+   (zstd_frame._block_anchor_entry) — decode on the TPU too and are
+   patched into the staged buffer on-device; only anchor-less blocks'
+   literals (foreign frames) decode on the host.
 
 Payloads neither tier understands return None and the caller falls back
 to host libzstd — the graceful-degradation ladder of stenos.cpp:681-753.
@@ -61,34 +64,49 @@ def _parse_device_block(payload: bytes, start: int, bsize: int):
     return regenerated, spans
 
 
-def _decode_all_device(payload, dsize, blocks, entries, interpret):
-    """Tier 1: every block a full-size literals-only device block."""
+def _lit_spans(payload, lit):
+    """4-stream byte spans of a 'huf' literals section (tree desc skipped).
+    Returns [(off, len)] * 4 or None."""
+    p = lit.off
+    lit_end = lit.off + lit.length
+    tb = payload[p]
+    if tb < 128:
+        tree_len = 1 + tb
+    else:
+        tree_len = 1 + ((tb - 127) + 1) // 2
+    p += tree_len
+    if p + 6 > lit_end:
+        return None
+    j1 = int.from_bytes(payload[p : p + 2], "little")
+    j2 = int.from_bytes(payload[p + 2 : p + 4], "little")
+    j3 = int.from_bytes(payload[p + 4 : p + 6], "little")
+    p += 6
+    s4 = lit_end - (p + j1 + j2 + j3)
+    if s4 <= 0:
+        return None
+    return [(p, j1), (p + j1, j2), (p + j1 + j2, j3),
+            (p + j1 + j2 + j3, s4)]
+
+
+def _batch_decode_streams(payload, jobs, interpret):
+    """Batch the anchored 4-stream Huffman decode. jobs: list of
+    (spans, (lens, anchors)) — one per block, 4 streams each. Returns a
+    (4 * len(jobs), 32768) uint8 device array of decoded symbols (each
+    stream's valid prefix is its own symbol count; the rest is garbage
+    segments driven by zero anchors)."""
     import jax
     import jax.numpy as jnp
 
     from .huff_decode_pallas import decode_streams_device, decode_tables
 
-    nfull = 0
-    specs = []
-    for spec, ent in zip(blocks, entries):
-        if ent is None or spec.btype != 2:
-            return None
-        pb = _parse_device_block(payload, spec.start, spec.size)
-        if pb is None or pb[0] != BLOCK_MAX:
-            return None
-        specs.append((pb[1], ent))
-        nfull += 1
-    if nfull * BLOCK_MAX != dsize:
-        return None
-
-    ns = nfull * 4
-    eb = max(max(ln for spans, _ in specs for (_, ln) in spans), 1)
+    ns = len(jobs) * 4
+    eb = max(max(ln for spans, _ in jobs for (_, ln) in spans), 1)
     eb = -(-(eb) // 128) * 128
     sb = np.zeros((ns, eb), np.uint8)
     anch = np.zeros((ns, 256), np.int32)
     tabs = np.zeros((ns, 304), np.int32)
     pv = np.frombuffer(payload, np.uint8)
-    for b, (spans, (lens, anchors)) in enumerate(specs):
+    for b, (spans, (lens, anchors)) in enumerate(jobs):
         tab = decode_tables(lens)
         for s, (off, ln) in enumerate(spans):
             sb[4 * b + s, :ln] = pv[off : off + ln]
@@ -99,12 +117,64 @@ def _decode_all_device(payload, dsize, blocks, entries, interpret):
         jax.device_put(jnp.asarray(sb), dev),
         jax.device_put(jnp.asarray(anch), dev),
         jax.device_put(jnp.asarray(tabs), dev), interpret)
-    return out.reshape(dsize).astype(jnp.uint8)
+    return out.astype(jnp.uint8)
 
 
-def _decode_sequences_device(payload, dsize, blocks, interpret):
-    """Tier 2: host index work + host literals, device match
-    reconstruction. Returns a device (dsize,) uint8 array or None.
+def _decode_all_device(payload, dsize, blocks, entries, interpret):
+    """Tier 1: every block a full-size literals-only device block."""
+    nfull = 0
+    jobs = []
+    for spec, ent in zip(blocks, entries):
+        if ent is None or spec.btype != 2:
+            return None
+        pb = _parse_device_block(payload, spec.start, spec.size)
+        if pb is None or pb[0] != BLOCK_MAX:
+            return None
+        jobs.append((pb[1], ent))
+        nfull += 1
+    if nfull * BLOCK_MAX != dsize:
+        return None
+    return _batch_decode_streams(payload, jobs, interpret).reshape(dsize)
+
+
+_PATCH_FNS = {}
+
+
+def _patch_from_rows(buf, rows, pspecs):
+    """Assemble each patch's literal bytes from its 4 decoded stream rows
+    and write them into buf — ONE fused dispatch (pspecs is static per
+    frame shape; compiled once per pattern).
+
+    pspecs: tuple of (row_base, n, off): streams rows[row_base:row_base+4]
+    carry ceil(n/4)/…/n-3*ceil(n/4) valid symbols (the compress_literals
+    split); the concatenation lands at buf[off : off+n]."""
+    import jax
+    import jax.numpy as jnp
+
+    fn = _PATCH_FNS.get(pspecs)
+    if fn is None:
+        def body(buf, rows):
+            for rb, n, off in pspecs:
+                s1 = (n + 3) // 4
+                lits = jnp.concatenate(
+                    [rows[rb, :s1], rows[rb + 1, :s1], rows[rb + 2, :s1],
+                     rows[rb + 3, : n - 3 * s1]])
+                buf = jax.lax.dynamic_update_slice(buf, lits, (off,))
+            return buf
+
+        fn = jax.jit(body)
+        _PATCH_FNS[pspecs] = fn
+    return fn(buf, rows)
+
+
+def _decode_sequences_device(payload, dsize, blocks, interpret,
+                             entries=None):
+    """Tier 2: host index work, device match reconstruction; in MIXED
+    frames (literals-only device blocks interleaved with sequence-bearing
+    ones) the anchored blocks' Huffman streams still decode on the TPU —
+    their rows are patched into the staged buffer on-device — and only the
+    anchor-less blocks' literals decode on the host.
+    Returns a device (dsize,) uint8 array or None.
 
     Buffer layout (parallel lanes): the out area is (nb, BLOCK_MAX + W)
     rows — one block per row, the W row-tail absorbing each lane's
@@ -130,9 +200,19 @@ def _decode_sequences_device(payload, dsize, blocks, interpret):
     # ---- host pass: literals + O(nseq) sequence decode per block ----
     ctx = lib.zstd_ctx()
     reps = np.array([1, 4, 8], np.int64)
-    specs = []   # ("direct", content_off, piece) | ("seq", off, lits, seq)
+    # specs: ("direct", content_off, piece, None)
+    #      | ("seq", content_off, lits, (ll, ml, off, trailing))
+    # patches: (spec_index, job_index, n) — that spec's piece is a zeros
+    # placeholder; the real literal bytes come from the batched device
+    # stream decode and are written into the staged buffer ON-DEVICE
+    specs = []
+    jobs = []
+    patches = []
     out_off = 0
-    for spec in blocks:
+    if entries is not None and len(entries) != len(blocks):
+        entries = None
+    for bi, spec in enumerate(blocks):
+        ent = entries[bi] if entries is not None else None
         if spec.btype == 0:
             piece = np.array(pv[spec.start : spec.start + spec.size])
         elif spec.btype == 1:
@@ -148,7 +228,16 @@ def _decode_sequences_device(payload, dsize, blocks, interpret):
         lit = spec.lit
         if lit.regenerated > BLOCK_MAX:
             return None
-        if lit.kind == "raw":
+        dev_job = None
+        if (ent is not None and lit.kind == "huf" and lit.four
+                and not lit.treeless and lit.regenerated >= 64):
+            spans = _lit_spans(payload, lit)
+            if spans is not None:
+                jobs.append((spans, ent))
+                dev_job = len(jobs) - 1
+        if dev_job is not None:
+            lits = np.zeros(lit.regenerated, np.uint8)  # device-patched
+        elif lit.kind == "raw":
             lits = np.array(pv[lit.off : lit.off + lit.length])
         elif lit.kind == "rle":
             lits = np.full(lit.regenerated, lit.byte, np.uint8)
@@ -160,6 +249,8 @@ def _decode_sequences_device(payload, dsize, blocks, interpret):
                 return None
         if spec.seq_len == 1 and payload[spec.seq_off] == 0:
             specs.append(("direct", out_off, np.asarray(lits), None))
+            if dev_job is not None:
+                patches.append((len(specs) - 1, dev_job, lit.regenerated))
             out_off += lit.regenerated
             continue
         sec = payload[spec.seq_off : spec.seq_off + spec.seq_len]
@@ -173,17 +264,27 @@ def _decode_sequences_device(payload, dsize, blocks, interpret):
             return None
         specs.append(("seq", out_off, np.asarray(lits),
                       (ll, ml, off, trailing)))
+        if dev_job is not None:
+            patches.append((len(specs) - 1, dev_job, lit.regenerated))
         out_off += body + trailing
     if out_off != dsize:
         return None
 
+    patched = {si for si, _, _ in patches}
     if not any(k == "seq" for k, _, _, _ in specs):
-        # no sequence work at all: ship the direct pieces as the result
+        # no sequence work at all: ship the direct pieces as the result,
+        # patching device-decoded literal rows in on-device
         stage = np.zeros(max(dsize, 1), np.uint8)
-        for _, off_, piece, _ in specs:
-            stage[off_ : off_ + len(piece)] = piece
-        return jax.device_put(
-            jnp.asarray(stage[:dsize]), jax.devices()[0])
+        for i, (k, off_, piece, _) in enumerate(specs):
+            if i not in patched:
+                stage[off_ : off_ + len(piece)] = piece
+        buf = jax.device_put(jnp.asarray(stage[:dsize]), jax.devices()[0])
+        if patches:
+            rows = _batch_decode_streams(payload, jobs, interpret)
+            buf = _patch_from_rows(
+                buf, rows,
+                tuple((4 * jk, n, specs[si][1]) for si, jk, n in patches))
+        return buf
 
     # the literal area sits BEFORE the out area: out-area ops overrun
     # their dst by up to W-1 bytes (ordered overwrite), and a trailing
@@ -245,10 +346,19 @@ def _decode_sequences_device(payload, dsize, blocks, interpret):
 
     dst, src, total = seq_exec.pack_programs(progs, buf_len, W)
     stage = np.zeros(total, np.uint8)
-    for off_, piece in placed:
-        stage[off_ : off_ + len(piece)] = piece
+    for i, (off_, piece) in enumerate(placed):
+        if i not in patched:
+            stage[off_ : off_ + len(piece)] = piece
     dev = jax.devices()[0]
     buf = jax.device_put(jnp.asarray(stage), dev)
+    if patches:
+        # anchored literal streams decode on the TPU and land in the staged
+        # buffer on-device (the copy-op programs then read them like any
+        # host-placed piece)
+        rows = _batch_decode_streams(payload, jobs, interpret)
+        buf = _patch_from_rows(
+            buf, rows,
+            tuple((4 * jk, n, placed[si][0]) for si, jk, n in patches))
     buf = seq_exec.run_programs(
         buf, jax.device_put(jnp.asarray(dst), dev),
         jax.device_put(jnp.asarray(src), dev), W, interpret)
@@ -275,4 +385,5 @@ def decode_payload_device(payload, dsize: int, interpret: bool = False):
         out = _decode_all_device(payload, dsize, blocks, entries, interpret)
         if out is not None:
             return out
-    return _decode_sequences_device(payload, dsize, blocks, interpret)
+    return _decode_sequences_device(payload, dsize, blocks, interpret,
+                                    entries)

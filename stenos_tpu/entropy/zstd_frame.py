@@ -147,6 +147,60 @@ def encode_block(data: np.ndarray, last: bool, reps=None, cand=None,
     return bh.to_bytes(3, "little") + content, reps_out
 
 
+def _seq_anchors_on() -> bool:
+    import os
+
+    return os.environ.get("STENOS_SEQ_ANCHORS", "1") not in ("0", "false")
+
+
+def _block_anchor_entry(blk: bytes):
+    """Decode-anchor sidecar entry for a just-encoded single block (3-byte
+    header + content): (lens (256,), anchors (4, 256)) when the block's
+    literals are 4-stream Huffman — i.e. decodable by the anchored device
+    kernel — else None. Works for SEQUENCE-BEARING blocks too: anchors are
+    computed post-hoc (one native literal decode at encode time, then a
+    numpy suffix-cumsum of code lengths), so the block encoders (python +
+    native twin) and the frame bytes stay untouched; only the skippable
+    sidecar grows. anchors[s][g] = bit read position of stream s's symbol
+    g*128, counting from the stream bottom (huff_decode_pallas semantics)."""
+    from ..native import lib
+    from .zstd_parse import BlockSpec, _parse_sections
+
+    if lib is None:
+        return None
+    bh = int.from_bytes(blk[:3], "little")
+    if ((bh >> 1) & 3) != 2:
+        return None
+    spec = BlockSpec(2, 3, len(blk) - 3, 0)
+    if _parse_sections(blk, spec) is None:
+        return None
+    lit = spec.lit
+    if (lit is None or lit.kind != "huf" or not lit.four or lit.treeless
+            or lit.regenerated < 64):
+        return None
+    lits = lib.huf_lits(blk[lit.off : lit.off + lit.length], True, False,
+                        lit.regenerated, lib.zstd_ctx())
+    if isinstance(lits, int):
+        return None
+    lits = np.asarray(lits)
+    # the table in the section is deterministic from the literal histogram
+    # (compress_literals / the byte-identical native twin)
+    lens = code_lengths(np.bincount(lits, minlength=256))
+    _, lens = build_ctable(lens)
+    n = lit.regenerated
+    s1 = (n + 3) // 4
+    bounds = (0, s1, 2 * s1, 3 * s1, n)
+    lens_sym = lens[lits].astype(np.int64)
+    anchors = np.zeros((4, 256), np.int32)
+    for s in range(4):
+        seg = lens_sym[bounds[s] : bounds[s + 1]]
+        suf = np.concatenate(
+            [np.cumsum(seg[::-1])[::-1], np.zeros(1, np.int64)])
+        gs = np.arange(0, len(seg), 128)
+        anchors[s, : len(gs)] = suf[gs]
+    return lens, anchors
+
+
 def tree_descs_batch(lens_all):
     """Serialized tree descriptions for (n, 256) lengths: native C++ when
     available, python reference otherwise."""
@@ -281,7 +335,8 @@ def encode_frame_device(data, interpret: bool = False,
                 blk, reps = encode_block(chunk, last, reps,
                                          cand=cands.get(b))
                 blocks.append(blk)
-                sc_entries.append(None)
+                sc_entries.append(_block_anchor_entry(blk)
+                                  if sidecar and _seq_anchors_on() else None)
                 continue
             _, _, tree = m
             enc = [bytes(wbytes[4 * b + j][: sizes[4 * b + j]])
@@ -289,7 +344,8 @@ def encode_frame_device(data, interpret: bool = False,
             if any(len(e) > 0xFFFF for e in enc[:3]):
                 blk, reps = encode_block(chunk, last, reps)
                 blocks.append(blk)
-                sc_entries.append(None)
+                sc_entries.append(_block_anchor_entry(blk)
+                                  if sidecar and _seq_anchors_on() else None)
                 continue
             jump = b"".join(len(e).to_bytes(2, "little") for e in enc[:3])
             payload = tree + jump + b"".join(enc)
@@ -297,7 +353,8 @@ def encode_frame_device(data, interpret: bool = False,
             if csize + 6 >= BLOCK_MAX:
                 blk, reps = encode_block(chunk, last, reps)
                 blocks.append(blk)
-                sc_entries.append(None)
+                sc_entries.append(_block_anchor_entry(blk)
+                                  if sidecar and _seq_anchors_on() else None)
                 continue
             hdr = 2 | (3 << 2) | (BLOCK_MAX << 4) | (csize << 22)
             content = hdr.to_bytes(5, "little") + payload + b"\x00"
@@ -307,7 +364,8 @@ def encode_frame_device(data, interpret: bool = False,
     if n > nfull * BLOCK_MAX:
         blk, reps = encode_block(data[nfull * BLOCK_MAX :], True, reps)
         blocks.append(blk)
-        sc_entries.append(None)
+        sc_entries.append(_block_anchor_entry(blk)
+                          if sidecar and _seq_anchors_on() else None)
     for blk in blocks:
         out += blk
     if sidecar and any(e is not None for e in sc_entries):

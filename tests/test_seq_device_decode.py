@@ -8,6 +8,8 @@ Runs on the CPU backend (conftest forces JAX_PLATFORMS=cpu, 8 virtual
 devices); run_programs is pure XLA so the path is identical on TPU.
 """
 
+import os
+
 import numpy as np
 import pytest
 import zstandard as zstd
@@ -80,6 +82,97 @@ def test_own_encoder_runny_frame():
     data = np.repeat(rng.integers(0, 40, 40_000, np.uint8), 9)[:300_000]
     f = encode_frame_host(data)
     _check(bytes(f), data.tobytes())
+
+
+def test_mixed_frame_device_literals():
+    """A device-encoded MIXED frame (anchored literals-only blocks around a
+    runny sequence block): tier 2 must decode the anchored blocks' Huffman
+    streams on the device (devlit patches) — not fall back to host literal
+    decode — and stay bit-exact. Reference behavior: stenos.cpp:694-753
+    (every entropy payload decodes through full zstd)."""
+    import stenos_tpu.entropy.device_decode as dd
+    from stenos_tpu.entropy.sidecar import split_sidecar
+    from stenos_tpu.entropy.zstd_frame import encode_frame_device
+
+    rng = np.random.default_rng(7)
+    blk = 131072
+    lit0 = rng.integers(0, 40, blk, np.uint8)
+    runny = np.repeat(rng.integers(0, 40, blk, np.uint8),
+                      9)[:blk].astype(np.uint8)
+    lit1 = rng.integers(0, 40, blk, np.uint8)
+    data = np.concatenate([lit0, runny, lit1]).tobytes()
+    # STENOS_SEQ_ANCHORS=0 pins the runny block anchor-LESS so the frame
+    # stays mixed (the seq-anchor path has its own test below)
+    os.environ["STENOS_SEQ_ANCHORS"] = "0"
+    try:
+        f = bytes(encode_frame_device(np.frombuffer(data, np.uint8),
+                                      interpret=True))
+    finally:
+        os.environ.pop("STENOS_SEQ_ANCHORS", None)
+    _, entries = split_sidecar(f)
+    assert entries is not None
+    kinds = [e is not None for e in entries]
+    assert True in kinds and False in kinds, f"not a mixed frame: {kinds}"
+
+    calls = []
+    orig = dd._batch_decode_streams
+
+    def spy(payload, jobs, interpret):
+        calls.append(len(jobs))
+        return orig(payload, jobs, interpret)
+
+    dd._batch_decode_streams = spy
+    try:
+        _check(f, data)
+    finally:
+        dd._batch_decode_streams = orig
+    assert calls and calls[0] == kinds.count(True)
+
+
+def test_seq_block_device_literals():
+    """Sequence-bearing blocks from OUR device encoder carry literal
+    anchors in the sidecar (zstd_frame._block_anchor_entry): tier 2 must
+    decode their Huffman literals on the device (patched into the staged
+    buffer on-device) — host work is the O(nseq) FSE index only — and the
+    enlarged sidecar must stay invisible to standard decoders."""
+    import stenos_tpu.entropy.device_decode as dd
+    from stenos_tpu.entropy.sidecar import split_sidecar
+    from stenos_tpu.entropy.zstd_frame import encode_frame_device
+    from stenos_tpu.entropy.zstd_parse import parse_frame
+
+    rng = np.random.default_rng(13)
+    # records family: repeated 64-byte rows (match-rich) with skewed
+    # symbol distribution (Huffman-codable literals)
+    pool = rng.integers(0, 40, (400, 64), np.uint8)
+    idx = rng.integers(0, 400, 4096 + 12)
+    data = pool[idx].reshape(-1).tobytes()  # 2 full blocks + 768 B tail
+    f = bytes(encode_frame_device(np.frombuffer(data, np.uint8),
+                                  interpret=True))
+    fe, entries = split_sidecar(f)
+    assert entries is not None
+    _, blocks, _ = parse_frame(f, fe)
+    seq_anch = [i for i, (b, e) in enumerate(zip(blocks, entries))
+                if e is not None and b.btype == 2
+                and not (b.seq_len == 1 and f[b.seq_off] == 0)]
+    assert seq_anch, (
+        f"no anchored sequence block: "
+        f"{[(b.btype, e is not None) for b, e in zip(blocks, entries)]}")
+
+    calls = []
+    orig = dd._batch_decode_streams
+
+    def spy(payload, jobs, interpret):
+        calls.append(len(jobs))
+        return orig(payload, jobs, interpret)
+
+    dd._batch_decode_streams = spy
+    try:
+        _check(f, data)
+    finally:
+        dd._batch_decode_streams = orig
+    assert calls and calls[0] >= len(seq_anch)
+    assert zstd.ZstdDecompressor().decompress(
+        f, max_output_size=len(data)) == data
 
 
 def test_full_frame_path_entropy_decompress():
