@@ -244,27 +244,30 @@ def main():
     ent_dec_gbps = 0.0
     ent_dec_ok = False
     try:
-        from stenos_tpu.entropy.device_decode import decode_payload_device
+        from stenos_tpu.entropy.device_decode import (_parse_device_block,
+                                                      decode_payload_device)
         from stenos_tpu.entropy.huff_decode_pallas import (
-            decode_streams_device)
+            decode_streams_device, decode_tables)
         from stenos_tpu.entropy.sidecar import split_sidecar
-        from stenos_tpu.entropy.device_decode import (_parse_blocks,
-                                                      _parse_device_block)
-        from stenos_tpu.entropy.huff_decode_pallas import decode_tables
+        from stenos_tpu.entropy.zstd_parse import parse_frame
 
         ebytes = min(nbytes, 64 * 1024 * 1024)
         nblk2 = ebytes // 131072
-        noisy2 = np.cumsum(
-            rng.normal(0, 300, ebytes // 4)).astype("<i4").view(np.uint8)
+        # iid skewed bytes: Huffman-compressible (~6 bits/sym) but match-
+        # free, so the matchiness router keeps every block literals-only
+        # and the metric times the anchored decode KERNEL (the cumsum data
+        # used through r2 now routes to the sequence encoder)
+        noisy2 = rng.integers(0, 64, ebytes).astype(np.uint8)
+        noisy2[rng.integers(0, ebytes, ebytes // 16)] = rng.integers(
+            0, 256, ebytes // 16)
         fbig = encode_frame_device(noisy2[: nblk2 * 131072])
         frame_end, entries = split_sidecar(fbig)
-        content, blocks = _parse_blocks(fbig, frame_end)
+        content, blocks, _ = parse_frame(fbig, frame_end)
         sbuf, anch, tabs, border = [], [], [], []
-        for bi, ((btype, start, bsize), ent) in enumerate(
-                zip(blocks, entries)):
+        for bi, (spec, ent) in enumerate(zip(blocks, entries)):
             if ent is None:  # host-fallback block (runny): not kernel work
                 continue
-            pb = _parse_device_block(fbig, start, bsize)
+            pb = _parse_device_block(fbig, spec.start, spec.size)
             if pb is None:
                 continue
             regen, spans = pb
