@@ -124,6 +124,32 @@ def main():
     else:
         print("device entropy interop ok")
 
+    # device entropy DECODE tiers, compiled: literals-only (tier 1),
+    # sequence-bearing with sidecar anchors, and mixed frames (tier 2 with
+    # device literal patches) — bit-exact on the TPU
+    from stenos_tpu.entropy.device_decode import decode_payload_device
+    from stenos_tpu.entropy.zstd_frame import encode_frame_device
+
+    lit = rng.integers(0, 64, 2 * 131072 + 999).astype(np.uint8)
+    pool = rng.integers(0, 40, (400, 64)).astype(np.uint8)
+    seqd = pool[rng.integers(0, 400, (2 * 131072) // 64)].reshape(-1)
+    mixd = np.concatenate(
+        [lit[:131072], seqd[:131072], lit[131072 : 2 * 131072]])
+    for name, d in (("literals", lit), ("sequences", seqd), ("mixed", mixd)):
+        try:
+            fent = encode_frame_device(d)
+            out = decode_payload_device(bytes(fent), len(d))
+            ok = out is not None and bytes(
+                np.asarray(out).tobytes()) == d.tobytes()
+        except Exception as e:
+            ok = False
+            print(f"  entropy decode tier ({name}) raised: {e}")
+        if not ok:
+            fails += 1
+            print(f"FAIL: entropy decode tier ({name})")
+        else:
+            print(f"entropy decode tier ok ({name})")
+
     for bpp in bpps:
         for kind in kinds:
             for nbytes in sizes:
