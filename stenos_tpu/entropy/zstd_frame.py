@@ -178,15 +178,21 @@ def _block_anchor_entry(blk: bytes):
     if (lit is None or lit.kind != "huf" or not lit.four or lit.treeless
             or lit.regenerated < 64):
         return None
-    lits = lib.huf_lits(blk[lit.off : lit.off + lit.length], True, False,
-                        lit.regenerated, lib.zstd_ctx())
+    sec = blk[lit.off : lit.off + lit.length]
+    lits = lib.huf_lits(sec, True, False, lit.regenerated, lib.zstd_ctx())
     if isinstance(lits, int):
         return None
     lits = np.asarray(lits)
-    # the table in the section is deterministic from the literal histogram
-    # (compress_literals / the byte-identical native twin)
-    lens = code_lengths(np.bincount(lits, minlength=256))
-    _, lens = build_ctable(lens)
+    if hasattr(lib, "huf_tree_lens"):
+        # the exact lengths the section carries — no host table rebuild
+        # (the heapq Huffman build was ~30% of the per-block encode cost)
+        r = lib.huf_tree_lens(sec)
+        if isinstance(r, int):
+            return None
+        lens = r[0].astype(np.int64)
+    else:
+        lens = code_lengths(np.bincount(lits, minlength=256))
+        _, lens = build_ctable(lens)
     n = lit.regenerated
     s1 = (n + 3) // 4
     bounds = (0, s1, 2 * s1, 3 * s1, n)
@@ -198,6 +204,10 @@ def _block_anchor_entry(blk: bytes):
             [np.cumsum(seg[::-1])[::-1], np.zeros(1, np.int64)])
         gs = np.arange(0, len(seg), 128)
         anchors[s, : len(gs)] = suf[gs]
+        # segments past the stream's last symbol re-decode from the last
+        # real anchor (their output is sliced off); a repeat keeps every
+        # sidecar u16 delta in range, unlike a drop to 0
+        anchors[s, len(gs) :] = suf[gs[-1]] if len(gs) else 0
     return lens, anchors
 
 

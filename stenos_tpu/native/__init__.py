@@ -72,6 +72,9 @@ class _Native:
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
             ctypes.c_int, ctypes.c_size_t, ctypes.c_void_p,
             ctypes.c_void_p]
+        cdll.stn_huf_tree_lens.restype = ctypes.c_ssize_t
+        cdll.stn_huf_tree_lens.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p]
         cdll.stn_seq_ops.restype = ctypes.c_ssize_t
         cdll.stn_seq_ops.argtypes = [
             ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
@@ -291,6 +294,20 @@ class _Native:
         if r < 0:
             return int(r)
         return out[:regenerated]
+
+    def huf_tree_lens(self, src):
+        """Literals tree description -> (lens (256,) uint8, desc bytes)
+        or a negative error int. The exact code lengths the section was
+        encoded with (no host table rebuild)."""
+        import numpy as np
+
+        src = bytes(src)
+        out = np.zeros(256, np.uint8)
+        r = self._lib.stn_huf_tree_lens(
+            src, len(src), out.ctypes.data_as(ctypes.c_void_p))
+        if r < 0:
+            return int(r)
+        return out, int(r)
 
     def seq_ops(self, ll, ml, off, dst_base: int, lit_base: int,
                 trailing: int, out_limit: int, W: int = 512):

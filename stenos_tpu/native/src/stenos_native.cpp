@@ -1801,6 +1801,47 @@ EXPORT ptrdiff_t stn_huf_lits(const uint8_t* src, size_t n, int four,
     return 0;
 }
 
+// Code lengths (0 = unused) straight from a literals tree description —
+// the exact table the section was encoded with, so callers (the decode-
+// anchor sidecar, zstd_frame._block_anchor_entry) need no host Huffman
+// rebuild. src/n: bytes after the literals-section header.
+// Returns the description's byte length (> 0) or a negative error.
+EXPORT ptrdiff_t stn_huf_tree_lens(const uint8_t* src, size_t n,
+                                   uint8_t* out_lens) {
+    if (n < 1) return ERR_SRC;
+    uint8_t weights[256];
+    int count;
+    size_t p;
+    const uint8_t hb = src[0];
+    if (hb < 128) {  // FSE-compressed weights, hb = compressed size
+        if (1 + (size_t)hb > n) return ERR_SRC;
+        if (huf_fse_weights(src + 1, hb, weights, &count)) return ERR_INPUT;
+        p = 1 + hb;
+    } else {  // direct 4-bit weights
+        count = hb - 127;
+        const size_t bytes = ((size_t)count + 1) / 2;
+        if (1 + bytes > n) return ERR_SRC;
+        for (int i = 0; i < count; ++i) {
+            const uint8_t bb = src[1 + i / 2];
+            weights[i] = (i & 1) ? (bb & 15) : (bb >> 4);
+        }
+        p = 1 + bytes;
+    }
+    uint32_t total = 0;
+    for (int i = 0; i < count; ++i)
+        if (weights[i]) total += 1u << (weights[i] - 1);
+    if (total == 0) return ERR_INPUT;
+    const int tl = highbit_u32(total) + 1;
+    const uint32_t rest = (1u << tl) - total;
+    if (rest == 0 || (rest & (rest - 1))) return ERR_INPUT;
+    weights[count] = (uint8_t)(highbit_u32(rest) + 1);
+    if (tl > 11 || count >= 256) return ERR_INPUT;
+    for (int s = 0; s < 256; ++s) out_lens[s] = 0;
+    for (int s = 0; s <= count; ++s)
+        if (weights[s]) out_lens[s] = (uint8_t)(tl + 1 - weights[s]);
+    return (ptrdiff_t)p;
+}
+
 EXPORT size_t stn_zstd_ctx_size() { return sizeof(ZstdDecCtx); }
 
 // Decode one sequences section (RFC §3.1.1.3.2): nseq header, channel

@@ -100,3 +100,27 @@ def test_seq_ops_bounds():
     off = np.array([4], np.int64)  # offset into nothing: invalid
     r = lib.seq_ops(ll, ml, off, 0, 0, 0, 100, W=16)
     assert isinstance(r, int) and r < 0
+
+
+def test_huf_tree_lens_matches_rebuild():
+    """stn_huf_tree_lens must return EXACTLY the code lengths the section
+    was encoded with (== the deterministic rebuild from the histogram,
+    compress_literals); drives the sequence-block anchor sidecar."""
+    from stenos_tpu.entropy.huffman import build_ctable, code_lengths
+    from stenos_tpu.entropy.zstd_frame import compress_literals
+
+    rng = np.random.default_rng(9)
+    for hi, n in ((8, 20000), (40, 5003), (200, 70001), (255, 131072),
+                  (16, 64)):
+        data = rng.integers(0, hi, n).astype(np.uint8)
+        sec = compress_literals(data)
+        if sec is None:
+            continue
+        lens_ref = code_lengths(np.bincount(data, minlength=256))
+        _, lens_ref = build_ctable(lens_ref)
+        r = lib.huf_tree_lens(sec[5:])
+        assert not isinstance(r, int), (hi, n, r)
+        lens, desc_len = r
+        assert 0 < desc_len <= 129
+        assert (lens.astype(np.int64)
+                == np.asarray(lens_ref, np.int64)).all(), (hi, n)
