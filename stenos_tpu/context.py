@@ -157,12 +157,48 @@ class Context:
     def memory_footprint(self) -> int:
         return 3 * (self.superblock_size + 4)
 
+    def warmup(self, bytesoftype: int, nbytes: int, max_r: int = 64,
+               block_levels=(2,)):
+        """Pre-compile the timed-mode round shapes for an input of
+        ~nbytes — the TPU analog of the reference creating its thread
+        pool at program init (stenos.cpp:755-764): afterwards no jit
+        compile lands inside a time budget. One-time per machine (the
+        persistent jit cache keeps the shapes across processes).
+
+        Compiles one encode batch per power-of-two round size x block
+        level for the superblock size prepare_superblock would pick."""
+        if self.engine is None:
+            return
+        import numpy as np
+
+        ns_saved = self.t.nanoseconds
+        self.t.nanoseconds = self.t.nanoseconds or 1  # timed-mode sizing
+        try:
+            sb, _ = self.prepare_superblock(bytesoftype, nbytes)
+        finally:
+            self.t.nanoseconds = ns_saved
+        r = 1
+        while r <= max_r:
+            batch = np.zeros(r * sb, np.uint8)
+            for bl in block_levels:
+                try:
+                    self.engine.encode_batch(batch, bytesoftype, sb,
+                                             block_level=bl)
+                except Exception:
+                    pass  # fallback engines warm on their own paths
+            r <<= 1
+
     def prepare_superblock(self, bpp: int, nbytes: int):
         """Superblock sizing incl. time-limited strategy (stenos.cpp:115-169)."""
         block_size = bpp * 256
         if self.t.nanoseconds:
-            # aim for >= threads*32 superblocks (stenos.cpp:126-149)
+            # aim for >= threads*32 superblocks (stenos.cpp:126-149);
+            # the block count is bucketed to a power of two so the device
+            # engine sees a BOUNDED set of batch shapes across input sizes
+            # (a fresh shape = a jit compile inside the budget; frame.py
+            # next_round_size buckets the round dimension the same way)
             bc = max((nbytes // max(self.threads * 32, 1)) // block_size, 1)
+            bc = 1 << (bc.bit_length() - 1)
             sb = block_size * bc
             shift = 255
             if sb >= MAX_BLOCK_BYTES:

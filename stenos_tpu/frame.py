@@ -447,6 +447,11 @@ def compress_generic(ctx, data, bytesoftype: int, dst_size=None) -> bytes:
     return b"".join(out)
 
 
+def _bucket_down(r: int) -> int:
+    """Largest power of two <= r (r >= 1)."""
+    return 1 << (r.bit_length() - 1)
+
+
 def next_round_size(recent_rates, rem_t: float, sb: int,
                     max_r: int = 64) -> int:
     """Superblocks for the next timed round.
@@ -456,11 +461,17 @@ def next_round_size(recent_rates, rem_t: float, sb: int,
     deadline only if throughput drops below anything recently observed —
     the P95-safe sizing of VERDICT r2 item 8. The reference bounds
     overshoot per work item the same way via its per-chunk deadline check
-    (stenos.cpp:936-965); here the bound is one shrinking round."""
+    (stenos.cpp:936-965); here the bound is one shrinking round.
+
+    Rounds are BUCKETED to powers of two so the device engine sees a
+    bounded set of batch shapes: a fresh shape is a jit compile INSIDE
+    the budget (seconds on CPU, tens of seconds on the TPU relay), which
+    is the one failure mode that dwarfs the one-round bound. Bucketing
+    rounds DOWN, preserving the conservative sizing."""
     if not recent_rates:
         return 1
     rate_lo = min(recent_rates)
-    return max(1, min(max_r, int(rate_lo * rem_t * 0.25 / sb)))
+    return _bucket_down(max(1, min(max_r, int(rate_lo * rem_t * 0.25 / sb))))
 
 
 def _timed_rounds(ctx, data, bpp: int, dst_size: int, sb: int, out, pos):
@@ -479,12 +490,21 @@ def _timed_rounds(ctx, data, bpp: int, dst_size: int, sb: int, out, pos):
     n_full = nbytes // sb
     i = 0
     R = 1            # calibration round, then rate-sized
-    recent = []      # last few measured round rates (bytes/sec)
+    # last few measured ENCODE round rates (bytes/sec). Memcpy rounds are
+    # excluded: their ~memcpy-speed rates would evict the slow encode
+    # rates from this window, and when the controller catches up and
+    # switches back to compressing, the next encode round would be sized
+    # for memcpy throughput — one 30x-oversized round blowing the budget
+    # (observed: 712 ms on a 250 ms budget before this split)
+    recent = []
     while i < n_full:
         blevel = find_block_level(t, 0)
-        R = max(1, min(R, n_full - i))
+        # the tail clamp stays bucketed too: an arbitrary remainder shape
+        # would compile fresh inside the budget
+        R = _bucket_down(max(1, min(R, n_full - i)))
         t0 = _time.perf_counter()
-        if blevel < 0 or t.finish_memcpy:
+        memcpy_round = blevel < 0 or t.finish_memcpy
+        if memcpy_round:
             if blevel == -2:
                 t.finish_memcpy = True
             # memcpy rounds: emit COPY records directly (no device work)
@@ -510,9 +530,10 @@ def _timed_rounds(ctx, data, bpp: int, dst_size: int, sb: int, out, pos):
                 out.append(blob)
                 pos += len(blob)
         dt = max(_time.perf_counter() - t0, 1e-6)
-        recent.append((R * sb) / dt)
-        if len(recent) > 4:
-            recent.pop(0)
+        if not memcpy_round:
+            recent.append((R * sb) / dt)
+            if len(recent) > 4:
+                recent.pop(0)
         i += R
         rem_t = max((t.nanoseconds - t.elapsed()) * 1e-9, 0.0)
         R = next_round_size(recent, rem_t, sb)

@@ -36,7 +36,11 @@ def main():
         .view(np.uint8)
 
     engine = JaxEngine()
-    # warm the kernel cache so compiles don't masquerade as overshoot
+    # warm the bucketed round shapes for THIS input size so compiles
+    # don't masquerade as overshoot (Context.warmup = the reference's
+    # pool-at-init analog); block levels 0-2 cover the controller's range
+    ctx = st.Context(max_nanoseconds=1, engine=engine)
+    ctx.warmup(4, n, block_levels=(0, 1, 2))
     ctx = st.Context(max_nanoseconds=60_000_000_000, engine=engine)
     st.compress_generic(ctx, data[: 8 << 20], 4)
 
