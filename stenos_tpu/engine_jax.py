@@ -241,18 +241,9 @@ class JaxEngine:
     def __init__(self, device=None):
         self.device = device
 
-    def encode_batch(self, data: np.ndarray, bpp: int, sb: int,
-                     block_level: int = 2):
-        """One jit call over all full superblocks; returns per-superblock
-        precomputed results for finish_block_stream (None entries fall back
-        to the per-chunk path)."""
-        nbytes = len(data)
-        n_sb = -(-nbytes // sb)
-        n_full = nbytes // sb
-        block_size = 256 * bpp
-        if n_full == 0 or sb % block_size:
-            return [None] * n_sb
-        batch = np.asarray(data[: n_full * sb]).reshape(n_full, sb)
+    def _encode_rounds(self, batch: np.ndarray, bpp: int, block_level: int):
+        """One jit call over a (r, sb) batch -> list of per-superblock
+        precomputed tuples."""
         r = (encode_superblocks_pallas(batch, bpp, block_level)
              if _use_pallas() else None)
         if r is not None:
@@ -264,10 +255,40 @@ class JaxEngine:
             total = np.asarray(total)
             bsizes = np.asarray(bsizes)
             fsizes = np.asarray(fsizes)
-        pre = [
-            (out[i], int(total[i]), bsizes[i], fsizes[i])
-            for i in range(n_full)
-        ]
+        return [(out[i], int(total[i]), bsizes[i], fsizes[i])
+                for i in range(batch.shape[0])]
+
+    def encode_batch(self, data: np.ndarray, bpp: int, sb: int,
+                     block_level: int = 2):
+        """One jit call over all full superblocks; returns per-superblock
+        precomputed results for finish_block_stream (None entries fall back
+        to the per-chunk path).
+
+        STENOS_SHAPE_BUCKETS=1 splits the batch into power-of-two rounds
+        (<= 64 superblocks each) so varying input sizes hit a BOUNDED set
+        of compiled shapes — the production-serving mode (a fresh shape is
+        a 20-90 s remote compile on the relay). Default: one dispatch over
+        the whole batch (fixed-size benchmarking; dispatch costs ~27 ms on
+        the relay, so extra rounds are not free there)."""
+        import os
+
+        nbytes = len(data)
+        n_sb = -(-nbytes // sb)
+        n_full = nbytes // sb
+        block_size = 256 * bpp
+        if n_full == 0 or sb % block_size:
+            return [None] * n_sb
+        if os.environ.get("STENOS_SHAPE_BUCKETS") == "1":
+            pre = []
+            i = 0
+            while i < n_full:
+                r = min(64, 1 << ((n_full - i).bit_length() - 1))
+                sub = np.asarray(data[i * sb : (i + r) * sb]).reshape(r, sb)
+                pre += self._encode_rounds(sub, bpp, block_level)
+                i += r
+        else:
+            batch = np.asarray(data[: n_full * sb]).reshape(n_full, sb)
+            pre = self._encode_rounds(batch, bpp, block_level)
         pre += [None] * (n_sb - n_full)
         return pre
 

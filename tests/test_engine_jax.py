@@ -43,3 +43,26 @@ def test_batched_frame_decode(rng):
     frame = st.compress(data, 4, 1)
     out = decompress_frame_batched(frame, 4)
     assert out is not None and out.tobytes() == data
+
+
+def test_shape_bucketed_batch_identical(rng):
+    """STENOS_SHAPE_BUCKETS=1 (production serving: bounded compiled-shape
+    set across input sizes) must produce byte-identical frames to the
+    single-dispatch default."""
+    import os
+
+    import stenos_tpu as st
+    from stenos_tpu.engine_jax import JaxEngine
+
+    from conftest import gen_elements
+
+    data = gen_elements(rng, 4, 700_000, "sorted")
+    eng = JaxEngine()
+    f0 = st.compress(np.frombuffer(data, np.uint8), 4, 2, engine=eng)
+    os.environ["STENOS_SHAPE_BUCKETS"] = "1"
+    try:
+        f1 = st.compress(np.frombuffer(data, np.uint8), 4, 2, engine=eng)
+    finally:
+        os.environ.pop("STENOS_SHAPE_BUCKETS", None)
+    assert f0 == f1
+    assert st.decompress(f1, 4).tobytes() == data
