@@ -137,13 +137,16 @@ def _decode_all_device(payload, dsize, blocks, entries, interpret):
     return _batch_decode_streams(payload, jobs, interpret).reshape(dsize)
 
 
-_PATCH_FNS = {}
+_PATCH_FNS = {}  # bounded: distinct patterns evict FIFO past _PATCH_CAP
+_PATCH_CAP = 64
 
 
 def _patch_from_rows(buf, rows, pspecs):
     """Assemble each patch's literal bytes from its 4 decoded stream rows
     and write them into buf — ONE fused dispatch (pspecs is static per
-    frame shape; compiled once per pattern).
+    frame shape; compiled once per pattern, cache capped so a serving
+    process decoding many distinct frame shapes doesn't accrete
+    executables).
 
     pspecs: tuple of (row_base, n, off): streams rows[row_base:row_base+4]
     carry ceil(n/4)/…/n-3*ceil(n/4) valid symbols (the compress_literals
@@ -163,6 +166,8 @@ def _patch_from_rows(buf, rows, pspecs):
             return buf
 
         fn = jax.jit(body)
+        if len(_PATCH_FNS) >= _PATCH_CAP:
+            _PATCH_FNS.pop(next(iter(_PATCH_FNS)))
         _PATCH_FNS[pspecs] = fn
     return fn(buf, rows)
 
