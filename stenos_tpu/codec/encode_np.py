@@ -49,10 +49,15 @@ def assemble(sections_len, writes, total):
 
 
 def encode_full_blocks(data: np.ndarray, bpp: int, block_level: int = 2,
-                       lz_enabled: bool = True):
+                       lz_enabled: bool = True, lz_budget=None):
     """Encode all full 256-element blocks of a superblock.
 
     data: uint8 1D, length a multiple of 256*bpp (callers strip the tail).
+    lz_budget: dst room for the LZ escape's precondition — the reference
+    passes the SUPERBLOCK's total input size as dst_size
+    (stenos.cpp:547, block_compress.h:1214), which exceeds len(data) when
+    a partial tail exists; defaulting to len(data) suppressed LZ attempts
+    on short superblocks (found by tools/fuzz_parity.py).
     Returns (payload_bytes, per_block_end_offsets) — offsets are cumulative
     compressed sizes after each block, used for the frame layer's
     target-ratio abort check (block_compress.h:1267-1274).
@@ -80,14 +85,19 @@ def encode_full_blocks(data: np.ndarray, bpp: int, block_level: int = 2,
             sizes_noLZ = hdr_w + full_size
             pos = np.zeros(nb, dtype=np.int64)
             np.cumsum(sizes_noLZ[:-1], out=pos[1:])
-            budget = len(data)
+            budget = len(data) if lz_budget is None else lz_budget
             shrink = 0
+            # the hash table persists across the superblock's LZ attempts
+            # (the reference's per-iteration stack slot, block_compress.h:1211)
+            from .lz_np import fresh_table
+
+            lz_table = fresh_table()
             for i in cand:
                 p = pos[i] - shrink
                 if budget > p + full_size[i] + bpp * 8 + 2:
                     payload = lz_compress_block(
                         data[i * block_size : (i + 1) * block_size], bpp,
-                        int(full_size[i]))
+                        int(full_size[i]), lz_table)
                     if payload is not None:
                         lz_payloads[int(i)] = payload
                         shrink += sizes_noLZ[i] - (1 + len(payload))
@@ -248,7 +258,8 @@ def block_codec_encode(data: np.ndarray, bpp: int, dst_budget: int,
     body_len = 0
     if nb:
         body, block_ends = encode_full_blocks(
-            data[: nb * block_size], bpp, block_level, lz_enabled
+            data[: nb * block_size], bpp, block_level, lz_enabled,
+            lz_budget=nbytes
         )
         # target-ratio abort (block_compress.h:1267-1274): checked after the
         # first block whose consumed input reaches bytes/16.

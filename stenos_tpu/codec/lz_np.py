@@ -1,9 +1,15 @@
 """Host implementation of the intra-block LZ codec (SPEC.md 3.5).
 
-Behavioral equivalent of lz_compress/lz_decompress (lz_compress.h:192-277)
-with a deterministic "empty" hash-table initialization (the reference leaves
-the table uninitialized, so its exact output bytes are irreproducible by
-design; any table state yields a valid stream).
+Behavioral equivalent of lz_compress/lz_decompress (lz_compress.h:192-277).
+The reference declares its 256-entry hash table UNINITIALIZED inside the
+block loop (block_compress.h:1211) — in practice the stack slot carries the
+previous block's table across iterations, so LZ attempts see candidates
+seeded by earlier blocks of the SAME superblock. We reproduce that with an
+explicit `table` argument the caller persists across a superblock's LZ
+attempts (updates survive aborted attempts, exactly like the reference's
+partial scans). Table start-of-superblock state is deterministic "empty"
+(the reference's is leftover stack garbage, which in practice yields no
+valid candidates — its exact block-0 bytes are irreproducible by design).
 """
 
 import numpy as np
@@ -19,9 +25,18 @@ def _hash8(v: int) -> int:
     return ((v * 14313749767032793493) & 0xFFFFFFFFFFFFFFFF) >> 56
 
 
-def lz_compress_block(block: np.ndarray, bpp: int, max_size: int):
+def fresh_table():
+    """Per-superblock LZ hash table (persisted across that superblock's
+    block loop by the caller, matching block_compress.h:1152-1223)."""
+    return [_EMPTY] * 256
+
+
+def lz_compress_block(block: np.ndarray, bpp: int, max_size: int,
+                      table=None):
     """Compress one 256-element block (raw, unshuffled bytes).
 
+    table: the persistent per-superblock hash table (fresh_table());
+    mutated in place, including by aborted attempts. None = fresh.
     Returns the payload bytes or None on budget failure (mirrors the nullptr
     returns of lz_compress, incl. the 0.4*budget early stop at i > count/4).
     """
@@ -47,7 +62,8 @@ def lz_compress_block(block: np.ndarray, bpp: int, max_size: int):
     vals = vals.tolist()
     hashes = [int(h) for h in hashes]
 
-    table = [_EMPTY] * 256
+    if table is None:
+        table = fresh_table()
     out = bytearray()
     failed = 0
     max_failed = 3

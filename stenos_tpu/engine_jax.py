@@ -378,12 +378,17 @@ class JaxEngine:
         pos = 0
         shrink = 0
         chunk = np.asarray(chunk)
+        # the hash table persists across this superblock's LZ attempts
+        # (the reference's per-iteration stack slot, block_compress.h:1211)
+        from .codec.lz_np import fresh_table
+
+        lz_table = fresh_table()
         for i in cand:
             p = starts[i] - shrink
             if budget > p + fsizes[i] + bpp * 8 + 2:
                 payload = lz_compress_block(
                     chunk[i * block_size : (i + 1) * block_size], bpp,
-                    int(fsizes[i]))
+                    int(fsizes[i]), lz_table)
                 if payload is not None:
                     pieces.append(bytes(stream[pos : starts[i]]))
                     pieces.append(bytes([BLOCK_LZ]))

@@ -72,3 +72,43 @@ def test_get_info(rng):
 def test_bound():
     for n in [0, 1, 1000, 65792, 65793, 10**7]:
         assert st.compress_bound(n) == oracle.bound(n)
+
+
+def test_lz_table_persists_across_blocks():
+    """Match-rich data whose LZ escapes depend on the hash table carrying
+    over BETWEEN blocks of one superblock: the reference's table is a
+    per-iteration stack slot that persists across its block loop
+    (block_compress.h:1211); a fresh-per-block table diverges (found by
+    tools/fuzz_parity.py). One superblock per width keeps the check
+    independent of the frame-level stack-leak the reference also exhibits
+    single-threaded (NOTES.md: out of scope by design — superblocks stay
+    shard-independent)."""
+    rng = np.random.default_rng(5262529557974360290)
+    pool = rng.integers(0, 64, (37, 64), np.uint8)
+    for bpp in (4, 8, 16):
+        sb = st.super_block_size(256 * bpp)
+        idx = rng.integers(0, 37, sb // 64)
+        data = pool[idx].reshape(-1)[:sb].tobytes()
+        mine = st.compress(np.frombuffer(data, np.uint8), bpp, 1)
+        ref = oracle.compress(data, bpp, 1)
+        assert mine == ref, (bpp, len(mine), len(ref))
+        assert st.decompress(mine, bpp).tobytes() == data
+
+
+def test_lz_budget_covers_partial_tail():
+    """A short superblock (one full block + partial tail): the LZ escape's
+    dst-room precondition must budget the SUPERBLOCK's total input size
+    (the reference passes it as dst_size, stenos.cpp:547) — budgeting only
+    the full-block region suppressed the attempt and the frame fell back
+    to COPY, 8% larger than the reference (fuzz seed 3428548311448695019)."""
+    rng = np.random.default_rng(3428548311448695019)
+    pool = rng.integers(0, 64, (37, 64), np.uint8)
+    bpp = 16
+    n = 4096 + 1792  # 1 full block + partial, < one superblock
+    idx = rng.integers(0, 37, n // 64 + 1)
+    data = pool[idx].reshape(-1)[:n].tobytes()
+    mine = st.compress(np.frombuffer(data, np.uint8), bpp, 1)
+    ref = oracle.compress(data, bpp, 1)
+    assert mine == ref, (len(mine), len(ref))
+    assert mine[8] == 1, "expected method BLOCK, not COPY"
+    assert st.decompress(mine, bpp).tobytes() == data
