@@ -49,7 +49,8 @@ def assemble(sections_len, writes, total):
 
 
 def encode_full_blocks(data: np.ndarray, bpp: int, block_level: int = 2,
-                       lz_enabled: bool = True, lz_budget=None):
+                       lz_enabled: bool = True, lz_budget=None,
+                       lz_table=None):
     """Encode all full 256-element blocks of a superblock.
 
     data: uint8 1D, length a multiple of 256*bpp (callers strip the tail).
@@ -88,10 +89,12 @@ def encode_full_blocks(data: np.ndarray, bpp: int, block_level: int = 2,
             budget = len(data) if lz_budget is None else lz_budget
             shrink = 0
             # the hash table persists across the superblock's LZ attempts
-            # (the reference's per-iteration stack slot, block_compress.h:1211)
-            from .lz_np import fresh_table
+            # (the reference's per-iteration stack slot, block_compress.h:1211);
+            # at level 1 the caller passes a FRAME-scoped table instead
+            if lz_table is None:
+                from .lz_np import fresh_table
 
-            lz_table = fresh_table()
+                lz_table = fresh_table()
             for i in cand:
                 p = pos[i] - shrink
                 if budget > p + full_size[i] + bpp * 8 + 2:
@@ -240,7 +243,7 @@ def _encode_row_np(h, xrow, drow, minb):
 
 def block_codec_encode(data: np.ndarray, bpp: int, dst_budget: int,
                        block_level: int = 2, target_ratio=None,
-                       lz_enabled=None):
+                       lz_enabled=None, lz_table=None):
     """Full block_compress equivalent: full blocks + partial tail.
 
     Returns payload bytes, or ERROR_DST_OVERFLOW (int) on budget overrun or
@@ -259,7 +262,7 @@ def block_codec_encode(data: np.ndarray, bpp: int, dst_budget: int,
     if nb:
         body, block_ends = encode_full_blocks(
             data[: nb * block_size], bpp, block_level, lz_enabled,
-            lz_budget=nbytes
+            lz_budget=nbytes, lz_table=lz_table
         )
         # target-ratio abort (block_compress.h:1267-1274): checked after the
         # first block whose consumed input reaches bytes/16.

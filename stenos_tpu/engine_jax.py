@@ -293,18 +293,18 @@ class JaxEngine:
         return pre
 
     def finish_block_stream(self, pre, chunk, bpp, budget, target_ratio,
-                            block_level: int = 2):
+                            block_level: int = 2, lz_table=None):
         """Host patch-up (LZ splice, abort/budget checks) of a precomputed
         device-encoded full superblock."""
         if pre is None:
             return self.encode_block_stream(chunk, bpp, budget, target_ratio,
-                                            block_level)
+                                            block_level, lz_table=lz_table)
         stream, total, bsizes, fsizes = pre
         nbytes = len(chunk)
         block_size = 256 * bpp
         nb = nbytes // block_size
         body = self._patch_lz(stream[:total], chunk, bpp, nb, bsizes, fsizes,
-                              block_level)
+                              block_level, lz_table=lz_table)
         if target_ratio is not None:
             ends = np.cumsum(self._sizes_after_lz)
             cp = (nbytes // 16 + block_size - 1) // block_size - 1
@@ -316,7 +316,8 @@ class JaxEngine:
         return body
 
     def encode_block_stream(self, chunk: np.ndarray, bpp: int, budget: int,
-                            target_ratio=None, block_level: int = 2):
+                            target_ratio=None, block_level: int = 2,
+                            lz_table=None):
         nbytes = len(chunk)
         if nbytes == 0:
             return b""
@@ -335,7 +336,8 @@ class JaxEngine:
             bsizes = np.asarray(bsizes[0])
             fsizes = np.asarray(fsizes[0])
             body = self._patch_lz(
-                out[:total], chunk, bpp, nb, bsizes, fsizes, block_level
+                out[:total], chunk, bpp, nb, bsizes, fsizes, block_level,
+                lz_table=lz_table
             )
             if target_ratio is not None:
                 # abort check (block_compress.h:1267-1274) on the (possibly
@@ -362,7 +364,8 @@ class JaxEngine:
             return ERROR_DST_OVERFLOW
         return body
 
-    def _patch_lz(self, stream, chunk, bpp, nb, bsizes, fsizes, block_level):
+    def _patch_lz(self, stream, chunk, bpp, nb, bsizes, fsizes, block_level,
+                  lz_table=None):
         """Host-side intra-block LZ attempts + splice (rare path)."""
         self._sizes_after_lz = bsizes.copy()
         if not (block_level == 2 and bpp % 4 == 0):
@@ -379,10 +382,12 @@ class JaxEngine:
         shrink = 0
         chunk = np.asarray(chunk)
         # the hash table persists across this superblock's LZ attempts
-        # (the reference's per-iteration stack slot, block_compress.h:1211)
-        from .codec.lz_np import fresh_table
+        # (the reference's per-iteration stack slot, block_compress.h:1211);
+        # at level 1 the caller passes a FRAME-scoped table instead
+        if lz_table is None:
+            from .codec.lz_np import fresh_table
 
-        lz_table = fresh_table()
+            lz_table = fresh_table()
         for i in cand:
             p = starts[i] - shrink
             if budget > p + fsizes[i] + bpp * 8 + 2:

@@ -114,7 +114,7 @@ def _entropy_compress(src_bytes, cap: int, zl: int, entropy):
 
 def compress_superblock(chunk: np.ndarray, bpp: int, level: int,
                         dst_size: int, engine=None, precomputed=None,
-                        entropy=None) -> bytes:
+                        entropy=None, lz_table=None) -> bytes:
     """Compress one superblock -> header(4B) + payload (or raise).
 
     Mirrors compress_generic_superblock (stenos.cpp:403-679),
@@ -152,9 +152,10 @@ def compress_superblock(chunk: np.ndarray, bpp: int, level: int,
     zl = 0
     if bpp > 1:
         if level < 2:
-            # pure block path (goto BLOCK)
+            # pure block path (goto BLOCK); the frame-scoped LZ table rides
+            # along (level-1 single-thread reference semantics)
             r = _encode_blocks(chunk, bpp, dst_size - 4, None, engine,
-                               precomputed)
+                               precomputed, lz_table=lz_table)
             if isinstance(r, int) or len(r) > sbytes:
                 return do_memcpy()
             return emit(METHOD_BLOCK, r)
@@ -208,14 +209,16 @@ def compress_superblock(chunk: np.ndarray, bpp: int, level: int,
 
 
 def _encode_blocks(chunk, bpp, budget, target_ratio, engine, precomputed=None,
-                   block_level=2):
+                   block_level=2, lz_table=None):
     if precomputed is not None and engine is not None:
         return engine.finish_block_stream(precomputed, chunk, bpp, budget,
-                                          target_ratio, block_level)
+                                          target_ratio, block_level,
+                                          lz_table=lz_table)
     if engine is not None:
         return engine.encode_block_stream(chunk, bpp, budget, target_ratio,
-                                          block_level)
-    return block_codec_encode(chunk, bpp, budget, block_level, target_ratio)
+                                          block_level, lz_table=lz_table)
+    return block_codec_encode(chunk, bpp, budget, block_level, target_ratio,
+                              lz_table=lz_table)
 
 
 def compress_superblock_timed(ctx, chunk: np.ndarray, bpp: int,
@@ -603,13 +606,26 @@ def compress(data, bytesoftype: int, level: int = 1, dst_size=None,
     if engine is not None and level != 0 and hasattr(engine, "encode_batch"):
         pre = engine.encode_batch(data, bytesoftype, sb)
 
+    # Level-1 LZ hash table persists across the WHOLE frame: single-threaded
+    # the reference's stack slot survives between block_compress calls at
+    # level 1 (no estimator runs in between, stenos.cpp:449-450) — verified
+    # bit-exact by tools/fuzz_parity.py. At level >= 2 lz4_guess_ratio
+    # scribbles the slot before every superblock, so scope stays per
+    # superblock there (encode_full_blocks' fresh table).
+    lz_tab = None
+    if level == 1 and bytesoftype > 1:
+        from .codec.lz_np import fresh_table
+
+        lz_tab = fresh_table()
+
     out = [header]
     pos = len(header)
     for i, off in enumerate(range(0, nbytes, sb)):
         chunk = data[off : off + sb]
         blob = compress_superblock(
             chunk, bytesoftype, level, dst_size - pos, engine,
-            precomputed=None if pre is None else pre[i], entropy=entropy)
+            precomputed=None if pre is None else pre[i], entropy=entropy,
+            lz_table=lz_tab)
         out.append(blob)
         pos += len(blob)
     return b"".join(out)

@@ -76,19 +76,19 @@ def test_bound():
 
 def test_lz_table_persists_across_blocks():
     """Match-rich data whose LZ escapes depend on the hash table carrying
-    over BETWEEN blocks of one superblock: the reference's table is a
-    per-iteration stack slot that persists across its block loop
-    (block_compress.h:1211); a fresh-per-block table diverges (found by
-    tools/fuzz_parity.py). One superblock per width keeps the check
-    independent of the frame-level stack-leak the reference also exhibits
-    single-threaded (NOTES.md: out of scope by design — superblocks stay
-    shard-independent)."""
+    over BETWEEN blocks — and, at level 1, between SUPERBLOCKS: the
+    reference's table is a per-iteration stack slot that survives its
+    block loop (block_compress.h:1211) and, single-threaded at level 1,
+    the whole frame (found by tools/fuzz_parity.py; NOTES.md). The table
+    is frame-scoped at level 1 here, so multi-superblock frames must be
+    bit-exact too."""
     rng = np.random.default_rng(5262529557974360290)
     pool = rng.integers(0, 64, (37, 64), np.uint8)
-    for bpp in (4, 8, 16):
+    for bpp, n_sb in ((4, 1), (8, 1), (16, 3)):
         sb = st.super_block_size(256 * bpp)
-        idx = rng.integers(0, 37, sb // 64)
-        data = pool[idx].reshape(-1)[:sb].tobytes()
+        n = sb * n_sb + 1792
+        idx = rng.integers(0, 37, n // 64 + 1)
+        data = pool[idx].reshape(-1)[:n].tobytes()
         mine = st.compress(np.frombuffer(data, np.uint8), bpp, 1)
         ref = oracle.compress(data, bpp, 1)
         assert mine == ref, (bpp, len(mine), len(ref))
