@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--entropy-every", type=int, default=10,
                     help="device entropy tier check every N iters (slow "
                          "in interpret mode)")
+    ap.add_argument("--engine-every", type=int, default=25,
+                    help="device-engine-vs-host frame identity check "
+                         "every N iters (0 = off)")
     args = ap.parse_args()
 
     import zstandard
@@ -139,7 +142,8 @@ def main():
                 if ours_err != refs_err:
                     fails += 1
                     print(f"FAIL dst-behavior {tag} tight={tight}")
-            if iters % args.entropy_every == 0 and nbytes > 1024:
+            if (args.entropy_every and iters % args.entropy_every == 0
+                    and nbytes > 1024):
                 zl = int(rng.integers(1, 20))
                 c = zstandard.ZstdCompressor(level=zl).compress(data)
                 out = decode_payload_device(c, len(data), interpret=True)
@@ -147,6 +151,16 @@ def main():
                         np.asarray(out).tobytes()) != data:
                     fails += 1
                     print(f"FAIL entropy-tier {tag} zl={zl}")
+            if (args.engine_every and iters % args.engine_every == 0
+                    and 0 < nbytes <= 300_000):
+                from stenos_tpu.engine_jax import JaxEngine
+
+                fe = st.compress(np.frombuffer(data, np.uint8), bpp, level,
+                                 engine=JaxEngine())
+                if fe != mine:
+                    fails += 1
+                    print(f"FAIL engine-vs-host {tag}: "
+                          f"{len(fe)} vs {len(mine)}")
         except Exception as e:  # noqa: BLE001
             fails += 1
             print(f"FAIL exception {tag}: {e!r}")
