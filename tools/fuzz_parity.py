@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--engine-every", type=int, default=25,
                     help="device-engine-vs-host frame identity check "
                          "every N iters (0 = off)")
+    ap.add_argument("--custom-every", type=int, default=15,
+                    help="custom-blocksize (cvector bucket) frame check "
+                         "every N iters (0 = off)")
     args = ap.parse_args()
 
     import zstandard
@@ -161,6 +164,22 @@ def main():
                     fails += 1
                     print(f"FAIL engine-vs-host {tag}: "
                           f"{len(fe)} vs {len(mine)}")
+            if (args.custom_every and iters % args.custom_every == 0
+                    and 0 < nbytes <= 300_000):
+                # custom-blocksize frames (the cvector bucket format,
+                # shift=255 header): the reference must decode them
+                shift = int(rng.integers(0, 8))
+                fc = st.compress(np.frombuffer(data, np.uint8), bpp, level,
+                                 custom_shift=shift)
+                if st.decompress(fc, bpp).tobytes() != data:
+                    fails += 1
+                    print(f"FAIL custom-shift roundtrip {tag} s={shift}")
+                elif nbytes and oracle.decompress(
+                        fc, bpp, nbytes) != data:
+                    _, sbsz, _ = st.get_info(fc, bpp)
+                    if nbytes % sbsz:  # not the exact-multiple ref bug
+                        fails += 1
+                        print(f"FAIL custom-shift oracle {tag} s={shift}")
         except Exception as e:  # noqa: BLE001
             fails += 1
             print(f"FAIL exception {tag}: {e!r}")
