@@ -13,6 +13,11 @@ tests_comp_decomp.cpp:163-216) with random sizes including partial
 blocks and superblock-boundary straddles.
 
 Usage: python tools/fuzz_parity.py [--seconds 600] [--seed 0]
+
+Keep --seconds <= ~700 per process and loop over seeds in a shell: the
+XLA:CPU JIT intermittently segfaults late in long single-process runs
+that compile many pallas-interpret programs (NOTES.md item 5 — the test
+suite contains the same issue with xdist per-file workers).
 """
 
 import argparse
