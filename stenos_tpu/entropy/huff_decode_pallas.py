@@ -338,22 +338,29 @@ def make_decode_kernel_v3(R: int, G: int = 8, unroll: bool = False,
         tab = tab_ref[:, 0, :]                    # (G, 304)
         r_abs = anch_ref[:, :, 0]                 # (G, S) bit positions
 
-        # ---- window gather: x[g, b, t] = stream byte b of window row t ---
+        # ---- window gather: x[g, b, t*S+s] = stream byte b of window row t
+        # of segment s. One one-hot block per window row, concatenated on
+        # the LANE axis: Mosaic rejects the (G, S, 3) -> (G, 1, S*3) shape
+        # cast (lane-dim reshape), and aligned lane slices at multiples of
+        # S are free.
         lob = jnp.maximum(r_abs - 11 * K, 0) >> 3           # (G, S)
         row0 = lob >> 7
-        ridx = row0[:, :, None] + _iota((G, S, 3), 2)        # (G, S, 3)
-        ridx = jnp.minimum(ridx, R - 1).reshape(G, 1, S * 3)
-        oh = (_iota((G, R, S * 3), 1) == ridx).astype(jnp.bfloat16)
+        oh = jnp.concatenate(
+            [(_iota((G, R, S), 1)
+              == jnp.minimum(row0 + t, R - 1)[:, None, :]).astype(
+                  jnp.bfloat16) for t in range(3)],
+            axis=2)                               # (G, R, 3S)
         vbf = sb_ref[...].astype(jnp.int32).astype(jnp.bfloat16)  # (G,R,128)
         x = jax.lax.dot_general(
             vbf, oh, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)   # (G, 128, S*3)
-        xi = x.astype(jnp.int32).reshape(G, 32, 4, S, 3)
-        wrow = (xi[:, :, 0] | (xi[:, :, 1] << 8) | (xi[:, :, 2] << 16)
-                | (xi[:, :, 3] << 24))            # (G, 32, S, 3) LE32
-        w32 = jnp.concatenate(
-            [wrow[:, :, :, 0], wrow[:, :, :, 1], wrow[:, :, :, 2]],
-            axis=1)                               # (G, 96, S) word-major
+            preferred_element_type=jnp.float32)   # (G, 128, 3S)
+        xi = x.astype(jnp.int32)
+        rows = []
+        for t in range(3):
+            xt = xi[:, :, t * S : (t + 1) * S].reshape(G, 32, 4, S)
+            rows.append(xt[:, :, 0] | (xt[:, :, 1] << 8)
+                        | (xt[:, :, 2] << 16) | (xt[:, :, 3] << 24))
+        w32 = jnp.concatenate(rows, axis=1)       # (G, 96, S) word-major
 
         ws8 = row0 << 10                          # (G, S) window start bits
         r = r_abs - ws8                           # window-local bit cursor
@@ -520,6 +527,11 @@ def _decode_call(ns: int, R: int, interpret: bool, v: int = 1):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((ns, SEGS, K), jnp.int32),
             interpret=interpret,
+            # the G=8 batch keeps ~34 MB of (G, K, S) state live per grid
+            # step — past the 16 MB default scoped-vmem cap, well inside
+            # v5e's 128 MB VMEM
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )
     kernel = make_decode_kernel_v2(R, unroll=False) if v == 2 \
         else make_decode_kernel(R)
