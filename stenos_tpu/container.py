@@ -431,6 +431,47 @@ class CompressedArray:
                              stop: int | None = None):
         return self._apply(fn, start, stop, mutate=False, backward=True)
 
+    # element-wise for_each family: the exact reference contract
+    # (cvector.hpp:2283-2312): fn receives ONE element; a falsy return stops
+    # the scan; the return value counts elements for which fn returned
+    # truthy (the failing element is NOT counted). The chunk-wise apply()
+    # above is the fast path; these are the parity API.
+    def _for_each(self, fn, start, stop, mutate, backward):
+        count = 0
+        stopped = False
+
+        def chunk(view):
+            nonlocal count, stopped
+            for x in view:
+                # a void visitor (returns None) always continues — the
+                # reference's eval_functor void-vs-bool dispatch
+                if fn(x) is False:
+                    stopped = True
+                    return False
+                count += 1
+            return True
+
+        self._apply(chunk, start, stop, mutate=mutate, backward=backward)
+        return count
+
+    def for_each(self, fn, start: int = 0, stop: int | None = None):
+        """cvector.hpp:2283-2312 for_each: fn(element) over [start, stop);
+        returns the number of elements fn accepted before (exclusive) the
+        first falsy return. Elements are numpy scalars; to mutate, use
+        apply() with a chunk view (per-element mutation through a scalar
+        copy cannot write back)."""
+        return self._for_each(fn, start, stop, mutate=True, backward=False)
+
+    def const_for_each(self, fn, start: int = 0, stop: int | None = None):
+        return self._for_each(fn, start, stop, mutate=False, backward=False)
+
+    def for_each_backward(self, fn, start: int = 0, stop: int | None = None):
+        return self._for_each(fn, start, stop, mutate=True, backward=True)
+
+    def const_for_each_backward(self, fn, start: int = 0,
+                                stop: int | None = None):
+        return self._for_each(fn, start, stop, mutate=False, backward=True)
+
     def to_numpy(self) -> np.ndarray:
         with self._lock:
             out = np.empty(self._size, self.dtype)

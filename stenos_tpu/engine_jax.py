@@ -29,6 +29,7 @@ from .codec.emit import block_header_bytes, plane_sections
 from .constants import BLOCK_LZ, BLOCK_PARTIAL, ERROR_DST_OVERFLOW
 from .codec.lz_np import lz_compress_block
 from .codec.encode_np import encode_partial
+from .utils.demote import warn_once
 
 
 def encode_superblocks_body(data, bpp: int, block_level: int):
@@ -161,8 +162,11 @@ def encode_superblocks_pallas(batch: np.ndarray, bpp: int, block_level: int):
     try:
         rows, totals, bsizes, fsizes = encode_slabs_jit(
             batch.reshape(n_sb * slabs, slab_bytes), bpp, block_level)
-    except Exception:
+    except Exception as e:
         _PALLAS_SHAPE_FAILURES.add(key)
+        warn_once(f"pallas-enc-{key}",
+                  f"Pallas encode kernel failed for shape key {key}; "
+                  "demoting to the XLA pipeline", e)
         return None
     rows = np.asarray(rows)
     totals = np.asarray(totals)
@@ -509,8 +513,12 @@ def decompress_frame_batched(frame: bytes, bpp: int, engine=None):
                     args = [jax.device_put(x, dev) for x in r3]
                     try:
                         pending.append(decode_slabs_jit(*args, bpp, snb))
-                    except Exception:
+                    except Exception as e:
                         _PALLAS_SHAPE_FAILURES.add(key)
+                        warn_once(f"pallas-dec-{key}",
+                                  f"Pallas decode kernel failed for shape "
+                                  f"key {key}; demoting to the XLA "
+                                  "pipeline", e)
                         ok = False
                         break
                     while len(pending) > 2:  # bound in-flight buffer reuse
@@ -520,8 +528,12 @@ def decompress_frame_batched(frame: bytes, bpp: int, engine=None):
                     try:
                         done += [np.ascontiguousarray(np.asarray(w))
                                  for w in pending]
-                    except Exception:
+                    except Exception as e:
                         _PALLAS_SHAPE_FAILURES.add(key)
+                        warn_once(f"pallas-dec-{key}",
+                                  f"Pallas decode kernel failed for shape "
+                                  f"key {key}; demoting to the XLA "
+                                  "pipeline", e)
                     else:
                         return np.concatenate(
                             [o.view(np.uint8).reshape(-1) for o in done])

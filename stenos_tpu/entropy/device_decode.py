@@ -234,6 +234,19 @@ def _decode_sequences_device(payload, dsize, blocks, interpret,
         if lit.regenerated > BLOCK_MAX:
             return None
         dev_job = None
+        if (ent is None and lit.kind == "huf" and lit.four
+                and not lit.treeless and lit.regenerated >= 64
+                and hasattr(lib, "huf_anchors")):
+            # FOREIGN block (no sidecar): the host scans the streams once
+            # for code LENGTHS only — no symbol materialization — and the
+            # bytes decode on the TPU through the same anchored kernel
+            # (stn_huf_anchors; reference decodes all payloads uniformly,
+            # stenos.cpp:694-753)
+            r = lib.huf_anchors(
+                payload[lit.off : lit.off + lit.length], lit.regenerated,
+                ctx)
+            if not isinstance(r, int):
+                ent = r
         if (ent is not None and lit.kind == "huf" and lit.four
                 and not lit.treeless and lit.regenerated >= 64):
             spans = _lit_spans(payload, lit)

@@ -527,9 +527,13 @@ def _decode_call(ns: int, R: int, interpret: bool, v: int = 1):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((ns, SEGS, K), jnp.int32),
             interpret=interpret,
-            # the G=8 batch keeps ~34 MB of (G, K, S) state live per grid
-            # step — past the 16 MB default scoped-vmem cap, well inside
-            # v5e's 128 MB VMEM
+            # the G=8 batch carries multi-MB live state per grid step (the
+            # (G, K, S) ranks carry alone is 1 MiB; the fori body's window
+            # words, masks and temporaries multiply that) — past the 16 MiB
+            # default scoped-vmem cap. The 100 MiB limit assumes a >=128 MiB
+            # VMEM part (TPU v5e, this target); on smaller-VMEM generations
+            # the v3/v4 opt-in path may fail to compile, which the shape-
+            # failure cache demotes to v2 (the safe default).
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
         )

@@ -77,14 +77,18 @@ def find_matches(data: np.ndarray):
     return pos[o], (pos - ref)[o], ml[o]
 
 
-def greedy_parse(data: np.ndarray, min_gain: int = 4):
+def greedy_parse(data: np.ndarray, min_gain: int = 4, reps=(1, 4, 8)):
     """Greedy left-to-right parse over the candidate matches.
 
     A match is taken only if ml >= MIN_MATCH (and a short lazy check: if the
     next position has a much longer match, emit one literal instead —
-    level-2-ish parsing without chains). Returns (seqs, literals) in the
-    encode_sequences contract, or None when matching isn't worthwhile.
+    level-2-ish parsing without chains), then a repeat-offset match within
+    REP_GAIN bytes of it is preferred (match_device.rep_best — the cheap
+    offset channel). Returns (seqs, literals) in the encode_sequences
+    contract, or None when matching isn't worthwhile.
     """
+    from .match_device import REP_GAIN, REP_MIN, rep_best, rep_update
+
     n = len(data)
     pos, dist, ml = find_matches(data)
     if not len(pos):
@@ -95,6 +99,7 @@ def greedy_parse(data: np.ndarray, min_gain: int = 4):
     i = 0
     np_pos = pos
     total_matched = 0
+    reps = list(reps)
     while True:
         i = np.searchsorted(np_pos, cursor, side="left")
         if i >= len(np_pos):
@@ -108,10 +113,14 @@ def greedy_parse(data: np.ndarray, min_gain: int = 4):
                 and int(ml[i + 1]) > l + 3:
             p1, l1, d1 = int(np_pos[i + 1]), int(ml[i + 1]), int(dist[i + 1])
             p, l, d = p1, l1, d1
+        rr, rl = rep_best(data, p, reps, n, 32772)
+        if rl >= REP_MIN and rl + REP_GAIN >= l:
+            d, l = rr, rl
         ll = p - cursor
         lit_parts.append(data[cursor:p])
         seqs.append((ll, d + 3, l))
         total_matched += l
+        reps = rep_update(reps, ll, d)
         cursor = p + l
     if not seqs or total_matched < max(64, n // 64):
         return None

@@ -123,9 +123,9 @@ def encode_block(data: np.ndarray, last: bool, reps=None, cand=None,
     if cand is not None:
         from .match_device import _parse_py
 
-        match_finder = lambda d: _parse_py(d, cand)  # noqa: E731
+        match_finder = lambda d: _parse_py(d, cand, reps=reps)  # noqa: E731
     else:
-        match_finder = greedy_parse
+        match_finder = lambda d: greedy_parse(d, reps=reps)  # noqa: E731
     for finder in (find_run_sequences, match_finder):
         rs = finder(data)
         if rs is None:

@@ -32,6 +32,7 @@ from .host import zstd as zstd_host
 from .host.lz4dry import lz4_guess_ratio, lz4_guess_size
 from .ops.delta import delta_inv_np, delta_np
 from .ops.shuffle import shuffle_np, unshuffle_np
+from .utils.demote import warn_once
 
 
 class StenosError(Exception):
@@ -421,7 +422,8 @@ def compress_generic(ctx, data, bytesoftype: int, dst_size=None) -> bytes:
         raise StenosError(ERROR_INVALID_BYTESOFTYPE)
     if not ctx.t.nanoseconds:
         return compress(data, bytesoftype, ctx.level, dst_size,
-                        engine=ctx.engine, custom_shift=ctx.blocksize_shift)
+                        engine=ctx.engine, custom_shift=ctx.blocksize_shift,
+                        threads=getattr(ctx, "threads", 1))
     if dst_size is None:
         dst_size = compress_bound(nbytes)
 
@@ -552,7 +554,7 @@ def _timed_rounds(ctx, data, bpp: int, dst_size: int, sb: int, out, pos):
 
 def compress(data, bytesoftype: int, level: int = 1, dst_size=None,
              engine=None, custom_shift=None, entropy=None,
-             mesh=None) -> bytes:
+             mesh=None, threads: int = 1) -> bytes:
     """stenos_compress equivalent. data: bytes / 1D uint8 array.
 
     engine: None = host path; a JaxEngine instance = device path;
@@ -620,6 +622,33 @@ def compress(data, bytesoftype: int, level: int = 1, dst_size=None,
 
     out = [header]
     pos = len(header)
+    if threads > 1 and level != 0 and nbytes > sb:
+        # Host-thread fan-out (stenos.cpp:909-1016): each superblock
+        # compresses into its own buffer with capacity sb + 4 (exactly the
+        # reference's per-thread CBuffer size), aggregate dst overflow
+        # checked on join. Parity note: the reference's threaded output
+        # already differs from its 1-thread output (per-thread LZ stack
+        # slots), so the 1-thread frame stays the parity oracle; threaded
+        # frames are valid and decode identically. Level-1's frame-scoped
+        # LZ table is inherently sequential -> fresh per superblock here,
+        # like a reference thread's fresh stack.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(i_off):
+            i, off = i_off
+            chunk = data[off : off + sb]
+            return compress_superblock(
+                chunk, bytesoftype, level, len(chunk) + 4, engine,
+                precomputed=None if pre is None else pre[i],
+                entropy=entropy)
+
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            blobs = list(ex.map(one, enumerate(range(0, nbytes, sb))))
+        for blob in blobs:
+            pos += len(blob)
+            if pos > dst_size:
+                raise StenosError(ERROR_DST_OVERFLOW)
+        return b"".join(out + blobs)
     for i, off in enumerate(range(0, nbytes, sb)):
         chunk = data[off : off + sb]
         blob = compress_superblock(
@@ -671,8 +700,10 @@ def _entropy_decompress(payload, dsize, engine):
                                       interpret=_engine_interpret())
             if r is not None:
                 return np.asarray(r)
-        except Exception:
-            pass
+        except Exception as e:
+            warn_once("entropy-device-decode",
+                      "device entropy decode failed; demoting to host "
+                      "libzstd", e)
     r = zstd_host.decompress(payload, dsize)
     if r is None:
         return None

@@ -72,6 +72,10 @@ class _Native:
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
             ctypes.c_int, ctypes.c_size_t, ctypes.c_void_p,
             ctypes.c_void_p]
+        cdll.stn_huf_anchors.restype = ctypes.c_ssize_t
+        cdll.stn_huf_anchors.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         cdll.stn_huf_tree_lens.restype = ctypes.c_ssize_t
         cdll.stn_huf_tree_lens.argtypes = [
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p]
@@ -85,7 +89,7 @@ class _Native:
         cdll.stn_match_parse.argtypes = [
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_void_p, ctypes.c_size_t,
-            ctypes.c_void_p, ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         cdll.stn_encode_block.restype = ctypes.c_ssize_t
         cdll.stn_encode_block.argtypes = [
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
@@ -295,6 +299,25 @@ class _Native:
             return int(r)
         return out[:regenerated]
 
+    def huf_anchors(self, sec, regenerated: int, ctx):
+        """Length-only anchor scan of a foreign 4-stream huffman literals
+        section (bytes AFTER the 3/5-byte literals header): returns
+        (lens (256,) uint8, anchors (4, 256) int32) in the decode-anchor
+        sidecar contract, or a negative int error. Updates ctx's table
+        like huf_lits would (treeless continuation stays correct)."""
+        import numpy as np
+
+        sec = bytes(sec)
+        lens = np.zeros(256, np.uint8)
+        anch = np.zeros((4, 256), np.int32)
+        as_p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        r = self._lib.stn_huf_anchors(
+            sec, len(sec), regenerated,
+            ctx.ctypes.data_as(ctypes.c_void_p), as_p(lens), as_p(anch))
+        if r < 0:
+            return int(r)
+        return lens, anch
+
     def huf_tree_lens(self, src):
         """Literals tree description -> (lens (256,) uint8, desc bytes)
         or a negative error int. The exact code lengths the section was
@@ -335,11 +358,12 @@ class _Native:
             return int(r)
         return ops[:r]
 
-    def match_parse(self, data, cand=None):
+    def match_parse(self, data, cand=None, reps=(1, 4, 8)):
         """Greedy LZ77 parse of one block (<= 128 KiB): exact nearest-
         previous-fp4 map walk (cand None, twin of match.greedy_parse) or
         the device candidate-array walk (twin of
-        match_device._parse_py). Returns (seqs, lits) or None."""
+        match_device._parse_py). reps: running repeat-offset registers
+        (the walk is rep-aware). Returns (seqs, lits) or None."""
         import numpy as np
 
         data = np.ascontiguousarray(data, np.uint8)
@@ -351,10 +375,11 @@ class _Native:
         seqs = np.empty((cap, 3), np.int32)
         lits = np.empty(n + 16, np.uint8)
         nlits = np.zeros(1, np.int64)
+        rarr = np.asarray(reps, np.int64)
         as_p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
         r = self._lib.stn_match_parse(as_p(data), n, as_p(carr), use,
                                       as_p(seqs), cap, as_p(lits),
-                                      as_p(nlits))
+                                      as_p(nlits), as_p(rarr))
         if r <= 0:
             return None
         return ([tuple(int(v) for v in t) for t in seqs[:r]],
@@ -398,7 +423,10 @@ class _Native:
 
 def _build(libpath: str) -> None:
     os.makedirs(os.path.dirname(libpath), exist_ok=True)
-    tmp = libpath + ".tmp.so"
+    # per-PID temp: concurrent builders (xdist workers, parallel sessions)
+    # must not scribble each other's half-written .so before the atomic
+    # os.replace
+    tmp = f"{libpath}.tmp.{os.getpid()}.so"
     subprocess.run(
         ["g++", "-O3", "-march=native", "-std=c++17", "-DNDEBUG", "-shared",
          "-fPIC", "-fvisibility=hidden", _SRC, "-o", tmp],

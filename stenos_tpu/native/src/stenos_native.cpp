@@ -1801,6 +1801,101 @@ EXPORT ptrdiff_t stn_huf_lits(const uint8_t* src, size_t n, int four,
     return 0;
 }
 
+
+// Length-only anchor scan of one huffman bitstream: decodes CODE LENGTHS
+// only (no symbol writes) and records the bit read position of every
+// 128th symbol — br.bits before symbol i is exactly the suffix bit-sum
+// the anchored device kernel expects (zstd_frame._block_anchor_entry
+// semantics). Padding segments repeat the last real anchor.
+static int huf_anchor_stream(const uint8_t* src, size_t n,
+                             const ZstdDecCtx* ctx, size_t nsym,
+                             int32_t* anch) {
+    BwdBits br;
+    if (br.init(src, n)) return -1;
+    const int tl = ctx->huf_log;
+    size_t g = 0;
+    for (size_t i = 0; i < nsym; ++i) {
+        if ((i & 127) == 0 && g < 256) anch[g++] = (int32_t)br.bits;
+        BwdBits tmp = br;
+        uint32_t v;
+        if (br.bits >= tl) {
+            v = tmp.read(tl);
+        } else {
+            const int have = br.bits > 0 ? (int)br.bits : 0;
+            v = tmp.read(have) << (tl - have);
+        }
+        br.bits -= (ptrdiff_t)(ctx->huf[v] & 15);
+        if (br.bits < 0) return -1;
+    }
+    if (br.bits != 0) return -1;
+    const int32_t lastv = g ? anch[g - 1] : 0;
+    for (; g < 256; ++g) anch[g] = lastv;
+    return 0;
+}
+
+// Decode-anchor sidecar entry for a FOREIGN (e.g. libzstd-made) 4-stream
+// huffman literals section (VERDICT r4: foreign-frame literals on device).
+// The host walks each stream once doing length-only table lookups — no
+// symbol materialization, no raw-literal buffer — and the actual bytes
+// decode on the TPU via the existing anchored kernel. Builds/updates the
+// shared ZstdDecCtx table exactly as stn_huf_lits would (so a following
+// treeless block still host-decodes correctly).
+//   src/n: bytes after the literals-section header (csize bytes)
+//   out_lens: (256,) code lengths; out_anchors: (4, 256) int32 positions
+// Returns 0 or a negative error.
+EXPORT ptrdiff_t stn_huf_anchors(const uint8_t* src, size_t n,
+                                 size_t regenerated, uint8_t* ctx_blob,
+                                 uint8_t* out_lens, int32_t* out_anchors) {
+    ZstdDecCtx* ctx = (ZstdDecCtx*)ctx_blob;
+    if (n < 1) return ERR_SRC;
+    uint8_t weights[256];
+    int count;
+    size_t p = 0;
+    const uint8_t hb = src[0];
+    if (hb < 128) {
+        if (1 + (size_t)hb > n) return ERR_SRC;
+        if (huf_fse_weights(src + 1, hb, weights, &count)) return ERR_INPUT;
+        p = 1 + hb;
+    } else {
+        count = hb - 127;
+        const size_t bytes = ((size_t)count + 1) / 2;
+        if (1 + bytes > n) return ERR_SRC;
+        for (int i = 0; i < count; ++i) {
+            const uint8_t bb = src[1 + i / 2];
+            weights[i] = (i & 1) ? (bb & 15) : (bb >> 4);
+        }
+        p = 1 + bytes;
+    }
+    uint32_t total = 0;
+    for (int i = 0; i < count; ++i)
+        if (weights[i]) total += 1u << (weights[i] - 1);
+    if (total == 0) return ERR_INPUT;
+    const int tl = highbit_u32(total) + 1;
+    const uint32_t rest = (1u << tl) - total;
+    if (rest == 0 || (rest & (rest - 1))) return ERR_INPUT;
+    weights[count] = (uint8_t)(highbit_u32(rest) + 1);
+    if (huf_build_lut(weights, count + 1, ctx)) return ERR_INPUT;
+    std::memset(out_lens, 0, 256);
+    for (int i = 0; i <= count; ++i)
+        if (weights[i]) out_lens[i] = (uint8_t)(tl + 1 - weights[i]);
+    if (p + 6 > n) return ERR_SRC;
+    const size_t j1 = src[p] | (src[p + 1] << 8);
+    const size_t j2 = src[p + 2] | (src[p + 3] << 8);
+    const size_t j3 = src[p + 4] | (src[p + 5] << 8);
+    p += 6;
+    if (p + j1 + j2 + j3 > n) return ERR_SRC;
+    const size_t s1 = (regenerated + 3) / 4;
+    const size_t s4 = regenerated - 3 * s1;
+    const size_t offs[4] = {p, p + j1, p + j1 + j2, p + j1 + j2 + j3};
+    const size_t lens[4] = {j1, j2, j3, n - (p + j1 + j2 + j3)};
+    const size_t cnts[4] = {s1, s1, s1, s4};
+    for (int i = 0; i < 4; ++i)
+        if (huf_anchor_stream(src + offs[i], lens[i], ctx, cnts[i],
+                              out_anchors + 256 * i))
+            return ERR_INPUT;
+    return 0;
+}
+
 // Code lengths (0 = unused) straight from a literals tree description —
 // the exact table the section was encoded with, so callers (the decode-
 // anchor sidecar, zstd_frame._block_anchor_entry) need no host Huffman
@@ -2401,14 +2496,25 @@ inline uint32_t fp4_at(const uint8_t* d, size_t p) {
 
 // Greedy cursor walk shared by both candidate sources. Provider semantics:
 // fill (dist, base_len) for position p, return true when p opens a match.
+// Rep-aware (twin of match_device._parse_py): after the greedy/lazy pick,
+// a match at one of the running repeat-offset registers within REP_GAIN
+// bytes of the candidate length wins — its offset channel costs ~1-2 FSE
+// bits instead of log2(d) extra bits (libzstd's greedy rep priority).
+// The register state is tracked with the exact _recode_repeat_offsets /
+// ZSTD_updateRep rule so the preference sees what the coder will have.
+constexpr int64_t REP_GAIN = 2;
+constexpr int64_t REP_MIN = 4;
+
 template <class Provider>
 inline ParseOut greedy_walk(const uint8_t* data, size_t n, Provider&& cand,
-                            int64_t ml_cap) {
+                            int64_t ml_cap, const int64_t* reps0) {
     ParseOut r;
     if (n < 8) return r;
     int64_t total_matched = 0;
     size_t cursor = 0;
     r.lits.reserve(n / 4);
+    int64_t reps[3] = {1, 4, 8};
+    if (reps0) { reps[0] = reps0[0]; reps[1] = reps0[1]; reps[2] = reps0[2]; }
     auto extend = [&](size_t p, int64_t d, int64_t base) {
         int64_t l = base;
         if ((int64_t)(n - p) < l) l = n - p;
@@ -2428,12 +2534,50 @@ inline ParseOut greedy_walk(const uint8_t* data, size_t n, Provider&& cand,
             const int64_t l1 = extend(p + 1, d1, b1);
             if (l1 > l + 3) { ++p; d = d1; l = l1; }
         }
+        // rep preference (register order breaks ties, strict >)
+        int64_t best_rl = 0, best_rep = 0;
+        for (int k = 0; k < 3; ++k) {
+            const int64_t rr = reps[k];
+            if (rr <= 0 || rr > (int64_t)p) continue;
+            int64_t rl = 0;
+            while (p + rl < n && data[p + rl] == data[p + rl - rr]
+                   && rl < ml_cap)
+                ++rl;
+            if (rl > best_rl) { best_rl = rl; best_rep = rr; }
+        }
+        if (best_rl >= REP_MIN && best_rl + REP_GAIN >= l) {
+            d = best_rep;
+            l = best_rl;
+        }
         const size_t ll = p - cursor;
         r.lits.insert(r.lits.end(), data + cursor, data + p);
         r.seqs.push_back((int32_t)ll);
         r.seqs.push_back((int32_t)(d + 3));
         r.seqs.push_back((int32_t)l);
         total_matched += l;
+        // register update (exact _recode_repeat_offsets rule)
+        {
+            int code;
+            if (ll != 0)
+                code = d == reps[0] ? 1 : d == reps[1] ? 2
+                       : d == reps[2] ? 3 : 0;
+            else
+                code = d == reps[1] ? 1 : d == reps[2] ? 2
+                       : d == reps[0] - 1 ? 3 : 0;
+            if (code == 0) {
+                reps[2] = reps[1]; reps[1] = reps[0]; reps[0] = d;
+            } else {
+                const int ri = code - 1 + (ll == 0 ? 1 : 0);
+                if (ri == 1) {
+                    std::swap(reps[0], reps[1]);
+                } else if (ri == 2) {
+                    const int64_t t = reps[2];
+                    reps[2] = reps[1]; reps[1] = reps[0]; reps[0] = t;
+                } else if (ri == 3) {
+                    reps[2] = reps[1]; reps[1] = reps[0]; --reps[0];
+                }
+            }
+        }
         cursor = p + l;
         p = cursor;
     }
@@ -2445,7 +2589,8 @@ inline ParseOut greedy_walk(const uint8_t* data, size_t n, Provider&& cand,
 }
 
 // host path: on-the-fly fp4 map (twin of match.greedy_parse, ml cap 32772)
-inline ParseOut hash_parse(const uint8_t* data, size_t n) {
+inline ParseOut hash_parse(const uint8_t* data, size_t n,
+                           const int64_t* reps0) {
     if (n < 8) return ParseOut{};
     Fp4Map map(n);
     size_t inserted = 0;  // positions [0, inserted) are in the map
@@ -2460,12 +2605,12 @@ inline ParseOut hash_parse(const uint8_t* data, size_t n) {
         *base = 4;
         return true;
     };
-    return greedy_walk(data, n, provider, 32772);
+    return greedy_walk(data, n, provider, 32772, reps0);
 }
 
 // device-candidate path (twin of match_device._parse_py, uncapped)
 inline ParseOut cand_parse(const uint8_t* data, size_t n,
-                           const int32_t* cand) {
+                           const int32_t* cand, const int64_t* reps0) {
     auto provider = [&](size_t p, int64_t* d, int64_t* base) {
         const int32_t c = cand[p];
         if (!c) return false;
@@ -2473,7 +2618,7 @@ inline ParseOut cand_parse(const uint8_t* data, size_t n,
         *base = 1ll << (c >> 24);
         return true;
     };
-    return greedy_walk(data, n, provider, (int64_t)1 << 40);
+    return greedy_walk(data, n, provider, (int64_t)1 << 40, reps0);
 }
 
 // offset-1 runs (twin of sequences.find_run_sequences, min_run 8)
@@ -2519,8 +2664,10 @@ inline ParseOut run_parse(const uint8_t* data, size_t n) {
 EXPORT ptrdiff_t stn_match_parse(const uint8_t* data, size_t n,
                                  const int32_t* cand, int use_cand,
                                  int32_t* seqs, size_t seq_cap,
-                                 uint8_t* lits, int64_t* nlits) {
-    ParseOut r = use_cand ? cand_parse(data, n, cand) : hash_parse(data, n);
+                                 uint8_t* lits, int64_t* nlits,
+                                 const int64_t* reps) {
+    ParseOut r = use_cand ? cand_parse(data, n, cand, reps)
+                          : hash_parse(data, n, reps);
     nlits[0] = 0;
     if (!r.ok) return 0;
     const size_t nseq = r.seqs.size() / 3;
@@ -2575,8 +2722,8 @@ EXPORT ptrdiff_t stn_encode_block(const uint8_t* data, size_t n,
     for (int finder = 0; finder < 2; ++finder) {
         ParseOut r = finder == 0
                          ? run_parse(data, n)
-                         : (use_cand ? cand_parse(data, n, cand)
-                                     : hash_parse(data, n));
+                         : (use_cand ? cand_parse(data, n, cand, reps)
+                                     : hash_parse(data, n, reps));
         if (!r.ok) continue;
         size_t ls = compress_literals_c(r.lits.data(), r.lits.size(),
                                         buf.data(), buf.size());

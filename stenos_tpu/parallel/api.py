@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .sharding import (encode_slabs_sharded, encode_superblocks_sharded,
+from ..utils.demote import warn_once
                        make_mesh)
 
 
@@ -147,8 +148,11 @@ class ShardedEngine:
             totals = np.asarray(totals)
             bsizes = np.asarray(bsizes).reshape(n_sb, nb)
             fsizes = np.asarray(fsizes).reshape(n_sb, nb)
-        except Exception:
+        except Exception as e:
             _PALLAS_SHAPE_FAILURES.add(key)
+            warn_once(f"mesh-enc-{key}",
+                      f"sharded Pallas encode failed for shape key {key}; "
+                      "demoting to the XLA pipeline", e)
             return None
         out_tot = totals.reshape(n_sb, slabs) - 4
         streams = np.zeros((n_sb, int(out_tot.sum(axis=1).max())), np.uint8)
@@ -266,7 +270,10 @@ def _decode_frame_sharded(frame: bytes, bpp: int, mesh: Mesh, axis: str,
         words = decode_slabs_sharded(mesh, vbufs, po, rt, bpp, snb, axis,
                                      interpret)
         out = np.ascontiguousarray(np.asarray(words)[:n_rows])
-    except Exception:
+    except Exception as e:
+        warn_once("mesh-decode",
+                  "mesh-parallel decode failed; demoting to the host "
+                  "decompress ladder", e)
         return None
     out = out.view(np.uint8).reshape(-1)[: n_sb * sb]
     if dsize_total > n_sb * sb:  # short final superblock: host ladder

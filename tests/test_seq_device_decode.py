@@ -126,7 +126,22 @@ def test_mixed_frame_device_literals():
         _check(f, data)
     finally:
         dd._batch_decode_streams = orig
-    assert calls and calls[0] == kinds.count(True)
+    # every block with 4-stream tree-bearing Huffman literals rides the
+    # kernel: the sidecar-anchored ones AND (since the foreign-anchor scan,
+    # stn_huf_anchors) the anchor-less ones — count them from the frame
+    from stenos_tpu.entropy.zstd_parse import _parse_sections, parse_frame
+
+    frame_end, _ = split_sidecar(f)
+    _, blocks, _ = parse_frame(f, frame_end)
+    nqual = 0
+    for spec in blocks:
+        _parse_sections(f, spec)
+        lit = spec.lit
+        if (lit is not None and lit.kind == "huf" and lit.four
+                and not lit.treeless and lit.regenerated >= 64):
+            nqual += 1
+    assert nqual >= kinds.count(True)
+    assert calls and calls[0] == nqual
 
 
 def test_seq_block_device_literals():

@@ -1,0 +1,412 @@
+#!/usr/bin/env python
+"""Hardware ablation of the anchored Huffman decode kernel (VERDICT r3 #2).
+
+Times kernel VARIANTS with individual stages disabled to locate the cost
+centers on the real TPU (interpret mode predicted nothing last round):
+
+  v2            full per-stream kernel (the 1.16 GB/s shipping default)
+  v2-nosym      ranks -> symbols 256-select removed (sum ranks instead)
+  v2-mxusym     256-select replaced by one-hot bf16 MXU matmul
+  v2-noranks    ranks masked-write removed (running sum only)
+  v2-nofetch    refill one-of-96 select replaced by a constant word
+  v3            full 8-stream batched kernel (the 0.067 GB/s regression)
+  v3-nosym / v3-noranks / v3-nofetch   same ablations
+
+Usage: python tools/ablate_hufdec.py [v2,v2-nosym,...]
+Correctness is NOT the point of ablated variants (output is wrong by
+construction) — only the full variants are checked.
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_compilation"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from stenos_tpu.entropy.huff_decode_pallas import (  # noqa: E402
+    K, SEGS, WB, _iota, decode_tables)
+
+S = SEGS
+
+
+def make_v2(R, abl=""):
+    def kernel(sb_ref, anch_ref, tab_ref, out_ref):
+        tab = tab_ref[0]
+        r_abs = anch_ref[0].T
+
+        lob = jnp.maximum(r_abs.T - 11 * K, 0) >> 3
+        row0 = lob >> 7
+        ridx = row0 + _iota((S, 1, 3), 2).reshape(S, 3)
+        ridx = jnp.minimum(ridx, R - 1)
+        oh = (_iota((S, 3, R), 2) == ridx[:, :, None]).reshape(
+            S * 3, R).astype(jnp.bfloat16)
+        vbf = sb_ref[0].astype(jnp.int32).astype(jnp.bfloat16)
+        g = jax.lax.dot_general(
+            oh, vbf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        win = g.astype(jnp.int32).reshape(S, WB)
+        wv = win.T
+        v4 = wv.reshape(96, 4, S)
+        w32 = (v4[:, 0, :] | (v4[:, 1, :] << 8) | (v4[:, 2, :] << 16)
+               | (v4[:, 3, :] << 24))
+
+        ws8 = (row0.T << 10)
+        r = r_abs - ws8
+        wsub = _iota((96, S), 0)
+
+        def fetch(widx):
+            if abl == "nofetch":
+                return w32[0:1]
+            return jnp.sum(jnp.where(wsub == widx, w32, 0), axis=0,
+                           keepdims=True)
+
+        pb = jnp.maximum(-(-(r - 64) // 32), 0)
+        lo = fetch(pb)
+        hi = fetch(jnp.minimum(pb + 1, 95))
+
+        E, D = [], []
+        for l in range(1, 12):
+            base_l = tab[0, l]
+            n_l = tab[0, 12 + l]
+            off_l = tab[0, 24 + l]
+            E.append((base_l + n_l) << (11 - l))
+            D.append(off_l - base_l)
+
+        def one(r, pb, lo, hi):
+            s = r - 11 - (pb << 5)
+            sc = jnp.clip(s, 0, 53)
+            Wn = jnp.where(
+                sc >= 32, hi >> (sc - 32),
+                (jax.lax.shift_right_logical(lo, sc)
+                 | ((hi << (31 - sc)) << 1)))
+            rc = jnp.clip(r, 0, 11)
+            Wb = (lo & ((1 << rc) - 1)) << (11 - rc)
+            W = jnp.where(r >= 11, Wn, Wb) & 0x7FF
+            cnt = jnp.zeros((1, S), jnp.int32)
+            for l in range(11):
+                cnt = cnt + (W >= E[l]).astype(jnp.int32)
+            ln = 11 - cnt
+            cand = W >> (11 - ln)
+            dd = jnp.zeros((1, S), jnp.int32)
+            for l in range(11):
+                dd = jnp.where(ln == l + 1, D[l], dd)
+            return ln, cand + dd
+
+        def pair(carry):
+            r, pb, lo, hi = carry
+            need = (pb > 0) & ((pb << 5) > r - 33)
+            pbn = pb - 1
+            nlo = fetch(jnp.maximum(pbn, 0))
+            pb = jnp.where(need, pbn, pb)
+            hi = jnp.where(need, lo, hi)
+            lo = jnp.where(need, nlo, lo)
+            ln0, idx0 = one(r, pb, lo, hi)
+            r = r - ln0
+            ln1, idx1 = one(r, pb, lo, hi)
+            r = r - ln1
+            return (r, pb, lo, hi), idx0, idx1
+
+        if abl == "noranks":
+            def step(k2, st):
+                carry, acc = st
+                carry, idx0, idx1 = pair(carry)
+                return carry, acc + idx0 + idx1
+
+            _, acc = jax.lax.fori_loop(
+                0, K // 2, step,
+                ((r, pb, lo, hi), jnp.zeros((1, S), jnp.int32)))
+            out_ref[0] = jnp.broadcast_to(acc, (S, K)) * 0 + acc.T
+            return
+
+        kcol = _iota((K, S), 0)
+
+        def step(k2, st):
+            carry, ranks = st
+            carry, idx0, idx1 = pair(carry)
+            ranks = jnp.where(kcol == 2 * k2, idx0, ranks)
+            ranks = jnp.where(kcol == 2 * k2 + 1, idx1, ranks)
+            return carry, ranks
+
+        _, ranks = jax.lax.fori_loop(
+            0, K // 2, step,
+            ((r, pb, lo, hi), jnp.zeros((K, S), jnp.int32)))
+
+        if abl == "nosym":
+            out_ref[0] = ranks.T
+        elif abl == "mxusym":
+            # one-hot bf16 MXU gather: out[k,s] = syms[ranks[k,s]]
+            oh2 = (ranks[:, :, None]
+                   == _iota((K, S, 256), 2)).astype(jnp.bfloat16)
+            syms = tab[0, 40:296].astype(jnp.bfloat16)
+            symt = jax.lax.dot_general(
+                oh2.reshape(K * S, 256), syms.reshape(256, 1),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[0] = symt.astype(jnp.int32).reshape(K, S).T
+        else:
+            out = jnp.zeros((K, S), jnp.int32)
+            for sym in range(256):
+                out = jnp.where(ranks == sym, tab[0, 40 + sym], out)
+            out_ref[0] = out.T
+
+    return kernel
+
+
+def make_v3(R, G=8, abl=""):
+    def kernel(sb_ref, anch_ref, tab_ref, out_ref):
+        tab = tab_ref[:, 0, :]
+        r_abs = anch_ref[:, :, 0]
+
+        lob = jnp.maximum(r_abs - 11 * K, 0) >> 3
+        row0 = lob >> 7
+        oh = jnp.concatenate(
+            [(_iota((G, R, S), 1)
+              == jnp.minimum(row0 + t, R - 1)[:, None, :]).astype(
+                  jnp.bfloat16) for t in range(3)],
+            axis=2)
+        vbf = sb_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
+        x = jax.lax.dot_general(
+            vbf, oh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        xi = x.astype(jnp.int32)
+        rows = []
+        for t in range(3):
+            xt = xi[:, :, t * S : (t + 1) * S].reshape(G, 32, 4, S)
+            rows.append(xt[:, :, 0] | (xt[:, :, 1] << 8)
+                        | (xt[:, :, 2] << 16) | (xt[:, :, 3] << 24))
+        w32 = jnp.concatenate(rows, axis=1)
+
+        ws8 = row0 << 10
+        r = r_abs - ws8
+        wsub = _iota((1, 96, 1), 1)
+
+        def fetch(widx):
+            if abl == "nofetch":
+                return w32[:, 0, :]
+            return jnp.sum(
+                jnp.where(wsub == widx[:, None, :], w32, 0), axis=1)
+
+        pb = jnp.maximum(-(-(r - 64) // 32), 0)
+        lo = fetch(pb)
+        hi = fetch(jnp.minimum(pb + 1, 95))
+
+        E, D = [], []
+        for l in range(1, 12):
+            base_l = tab[:, l : l + 1]
+            n_l = tab[:, 12 + l : 13 + l]
+            off_l = tab[:, 24 + l : 25 + l]
+            E.append((base_l + n_l) << (11 - l))
+            D.append(off_l - base_l)
+
+        def one(r, pb, lo, hi):
+            s = r - 11 - (pb << 5)
+            sc = jnp.clip(s, 0, 53)
+            Wn = jnp.where(
+                sc >= 32, hi >> (sc - 32),
+                (jax.lax.shift_right_logical(lo, sc)
+                 | ((hi << (31 - sc)) << 1)))
+            rc = jnp.clip(r, 0, 11)
+            Wb = (lo & ((1 << rc) - 1)) << (11 - rc)
+            W = jnp.where(r >= 11, Wn, Wb) & 0x7FF
+            cnt = jnp.zeros((G, S), jnp.int32)
+            for l in range(11):
+                cnt = cnt + (W >= E[l]).astype(jnp.int32)
+            ln = 11 - cnt
+            cand = W >> (11 - ln)
+            dd = jnp.zeros((G, S), jnp.int32)
+            for l in range(11):
+                dd = jnp.where(ln == l + 1, D[l], dd)
+            return ln, cand + dd
+
+        def pair(carry):
+            r, pb, lo, hi = carry
+            need = (pb > 0) & ((pb << 5) > r - 33)
+            pbn = pb - 1
+            nlo = fetch(jnp.maximum(pbn, 0))
+            pb = jnp.where(need, pbn, pb)
+            hi = jnp.where(need, lo, hi)
+            lo = jnp.where(need, nlo, lo)
+            ln0, idx0 = one(r, pb, lo, hi)
+            r = r - ln0
+            ln1, idx1 = one(r, pb, lo, hi)
+            r = r - ln1
+            return (r, pb, lo, hi), idx0, idx1
+
+        if abl == "noranks":
+            def step(k2, st):
+                carry, acc = st
+                carry, idx0, idx1 = pair(carry)
+                return carry, acc + idx0 + idx1
+
+            _, acc = jax.lax.fori_loop(
+                0, K // 2, step,
+                ((r, pb, lo, hi), jnp.zeros((G, S), jnp.int32)))
+            out_ref[...] = jnp.zeros((G, S, K), jnp.int32) + acc[:, :, None]
+            return
+
+        kcol = _iota((1, K, S), 1)
+
+        def step(k2, st):
+            carry, ranks = st
+            carry, idx0, idx1 = pair(carry)
+            ranks = jnp.where(kcol == 2 * k2, idx0[:, None, :], ranks)
+            ranks = jnp.where(kcol == 2 * k2 + 1, idx1[:, None, :], ranks)
+            return carry, ranks
+
+        _, ranks = jax.lax.fori_loop(
+            0, K // 2, step,
+            ((r, pb, lo, hi), jnp.zeros((G, K, S), jnp.int32)))
+
+        if abl == "nosym":
+            out_ref[...] = ranks.transpose(0, 2, 1)
+        else:
+            out = jnp.zeros((G, K, S), jnp.int32)
+            for sym in range(256):
+                out = jnp.where(ranks == sym,
+                                tab[:, 40 + sym][:, None, None], out)
+            out_ref[...] = out.transpose(0, 2, 1)
+
+    return kernel
+
+
+def build_inputs(ns=512):
+    """ns 32 KiB streams of skewed symbols, device-encoded."""
+    from stenos_tpu.entropy.huff_pallas import (encode_streams_device,
+                                                histogram_device)
+    from stenos_tpu.entropy.huffman import (build_ctables_batch,
+                                            code_lengths_batch)
+
+    rng = np.random.default_rng(7)
+    nbytes = ns * 32768
+    syms = rng.integers(0, 64, nbytes).astype(np.uint8)
+    syms[rng.integers(0, nbytes, nbytes // 16)] = rng.integers(
+        0, 256, nbytes // 16)
+    streams = syms.reshape(ns, 32768)
+    dev = jax.devices()[0]
+
+    # one table per 128 KiB block (4 streams), like the frame encoder
+    hist = np.asarray(histogram_device(
+        jnp.asarray(syms.reshape(ns // 4, 131072))))
+    lens_blk = code_lengths_batch(hist)
+    codes_blk = build_ctables_batch(lens_blk)
+    lens_all = np.repeat(lens_blk, 4, axis=0)
+    luts = np.repeat(
+        codes_blk.astype(np.int32) | (lens_blk.astype(np.int32) << 11),
+        4, axis=0)
+    words, sizes, anchors = encode_streams_device(
+        jax.device_put(streams, dev), jax.device_put(luts, dev),
+        with_anchors=True)
+    words = np.ascontiguousarray(np.asarray(words))
+    sizes = np.asarray(sizes)
+    anchors = np.asarray(anchors)
+    wbytes = words.view("<u1").reshape(ns, -1)
+    R = -(-int(sizes.max()) // 128)
+    sb = np.zeros((ns, R * 128), np.uint8)
+    for i in range(ns):
+        sb[i, : sizes[i]] = wbytes[i, : sizes[i]]
+    tabs = np.zeros((ns, 304), np.int32)
+    for i in range(ns):
+        tabs[i] = decode_tables(lens_all[i])[0]
+    return (jax.device_put(sb, dev), jax.device_put(anchors, dev),
+            jax.device_put(tabs, dev), streams, R)
+
+
+def timed(fn, reps=3):
+    fn()  # warm
+    best = 1e9
+    for _ in range(reps):
+        t = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t)
+    return best
+
+
+def main():
+    variants = sys.argv[1].split(",") if len(sys.argv) > 1 else [
+        "v2", "v2-nosym", "v2-mxusym", "v2-noranks", "v2-nofetch",
+        "v3", "v3-nosym", "v3-noranks", "v3-nofetch"]
+    ns = int(os.environ.get("ABL_NS", "512"))
+    s_d, a_d, t_d, syms, R = build_inputs(ns)
+    nbytes = ns * 32768
+    print(f"# ns={ns} R={R} ({nbytes/1e6:.0f} MB symbols)", flush=True)
+
+    for v in variants:
+        fam, _, abl = v.partition("-")
+        try:
+            if fam == "v2":
+                kern = make_v2(R, abl)
+                call = pl.pallas_call(
+                    kern,
+                    grid=(ns,),
+                    in_specs=[
+                        pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, SEGS, 1), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, 1, 304), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((1, SEGS, K),
+                                           lambda i: (i, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((ns, SEGS, K), jnp.int32),
+                )
+            else:
+                G = 8
+                kern = make_v3(R, G, abl)
+                call = pl.pallas_call(
+                    kern,
+                    grid=(ns // G,),
+                    in_specs=[
+                        pl.BlockSpec((G, R, 128), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((G, SEGS, 1), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((G, 1, 304), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((G, SEGS, K),
+                                           lambda i: (i, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((ns, SEGS, K), jnp.int32),
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=100 * 1024 * 1024),
+                )
+
+            @jax.jit
+            def run(s, a, t):
+                w = call(s.reshape(ns, R, 128), a.reshape(ns, SEGS, 1),
+                         t.reshape(ns, 1, 304))
+                return w, jnp.sum(w)
+
+            tt = timed(lambda: int(run(s_d, a_d, t_d)[1]))
+            gbps = nbytes / tt / 1e9
+            note = ""
+            if abl in ("", "mxusym"):
+                w = np.asarray(run(s_d, a_d, t_d)[0])
+                got = w.reshape(ns, SEGS * K).astype(np.uint8)
+                # decode order: segment-major rows are (S, K) -> symbols
+                # are out[s, k] = symbol s*K + k? match library layout
+                ok = got.tobytes() == syms.reshape(ns, -1).tobytes()
+                note = " OK" if ok else " WRONG-OUTPUT"
+            print(f"{v:12s} {tt*1e3:8.1f} ms  {gbps:6.3f} GB/s{note}",
+                  flush=True)
+        except Exception as e:
+            print(f"{v:12s} ERROR {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
