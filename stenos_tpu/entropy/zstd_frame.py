@@ -179,6 +179,13 @@ def _block_anchor_entry(blk: bytes):
             or lit.regenerated < 64):
         return None
     sec = blk[lit.off : lit.off + lit.length]
+    if hasattr(lib, "huf_anchors"):
+        # length-only native scan: no literal materialization at all
+        # (tests pin it equal to the decode-then-cumsum reference below)
+        r = lib.huf_anchors(sec, lit.regenerated, lib.zstd_ctx())
+        if isinstance(r, int):
+            return None
+        return r[0].astype(np.int64), r[1]
     lits = lib.huf_lits(sec, True, False, lit.regenerated, lib.zstd_ctx())
     if isinstance(lits, int):
         return None
@@ -277,44 +284,74 @@ def encode_frame_device(data, interpret: bool = False,
         eqc = (full[:, 1:] == full[:, :-1]).sum(axis=1)
         runny = eqc >= BLOCK_MAX // 32
         # blocks with LZ potential (neighbor-equal runs OR duplicate
-        # 4-grams — the one-sort device prepass) route to the sequence
-        # encoder; candidates come from the device sort pipeline
-        # (match_device), batched in power-of-two buckets so only a
-        # handful of shapes ever compile. The host walk consumes them;
-        # the exact cost comparison in encode_block keeps false
-        # positives size-neutral.
+        # 4-grams) route to the sequence encoder. The router is BUS-AWARE
+        # (VERDICT r3 item 3): device candidate discovery round-trips 4x
+        # the input through the host, so it only pays when the measured
+        # D2H rate can carry it; on a poisoned relay bus (NOTES.md) the
+        # native fp4-map walk inside encode_block wins by orders of
+        # magnitude and the routing prepass runs as a native 16 KiB
+        # prefix sample instead of a device sort.
+        #   STENOS_DEVICE_MATCH: 1 = force device, 0 = force host,
+        #   auto/unset = route by utils.bus.d2h_gbps().
+        import os
+
         cands = {}
-        try:
-            import os
+        dm = os.environ.get("STENOS_DEVICE_MATCH", "auto")
+        use_dev = dm == "1"
+        if dm not in ("0", "1"):
+            try:
+                from ..utils.bus import d2h_gbps
 
-            from .match_device import match_candidates, matchiness
+                use_dev = d2h_gbps() >= 0.5
+            except Exception:
+                use_dev = False
+        if use_dev:
+            try:
+                from .match_device import match_candidates, matchiness
 
-            CHUNK = 16
-            mfrac = np.zeros(nfull, np.float32)
-            for off in range(0, nfull, CHUNK):
-                sel = np.arange(off, min(off + CHUNK, nfull))
-                nb = 1
-                while nb < len(sel):
-                    nb <<= 1
-                pad = np.zeros((nb, BLOCK_MAX), np.uint8)
-                pad[: len(sel)] = full[sel]
-                mfrac[sel] = matchiness(pad)[: len(sel)]
+                CHUNK = 16
+                mfrac = np.zeros(nfull, np.float32)
+                for off in range(0, nfull, CHUNK):
+                    sel = np.arange(off, min(off + CHUNK, nfull))
+                    nb = 1
+                    while nb < len(sel):
+                        nb <<= 1
+                    pad = np.zeros((nb, BLOCK_MAX), np.uint8)
+                    pad[: len(sel)] = full[sel]
+                    mfrac[sel] = matchiness(pad)[: len(sel)]
+                runny = runny | (mfrac >= 1 / 8)
+                runny_idx = np.flatnonzero(runny)
+                for off in range(0, len(runny_idx), CHUNK):
+                    sel = runny_idx[off : off + CHUNK]
+                    nb = 1
+                    while nb < len(sel):
+                        nb <<= 1
+                    pad = np.zeros((nb, BLOCK_MAX), np.uint8)
+                    pad[: len(sel)] = full[sel]
+                    got = match_candidates(pad)
+                    for j, b in enumerate(sel):
+                        cands[int(b)] = got[j]
+            except Exception:
+                pass  # no accelerator: the host fp4-map finder takes over
+        else:
+            from ..native import lib as _native
+
+            if _native is not None and hasattr(_native, "matchiness"):
+                mfrac = np.array(
+                    [_native.matchiness(full[b]) for b in range(nfull)],
+                    np.float32)
+            else:
+                # numpy twin of the sampled prefix routing probe
+                m = min(16384, BLOCK_MAX - 4)
+                w = full[:, : m + 3]
+                fp = (w[:, :m].astype(np.uint32)
+                      | (w[:, 1 : m + 1].astype(np.uint32) << 8)
+                      | (w[:, 2 : m + 2].astype(np.uint32) << 16)
+                      | (w[:, 3 : m + 3].astype(np.uint32) << 24))
+                mfrac = np.array(
+                    [1.0 - len(np.unique(fp[b])) / m for b in range(nfull)],
+                    np.float32)
             runny = runny | (mfrac >= 1 / 8)
-            runny_idx = np.flatnonzero(runny)
-            if os.environ.get("STENOS_DEVICE_MATCH", "1") == "0":
-                runny_idx = runny_idx[:0]  # A/B knob: host fp4-map walk
-            for off in range(0, len(runny_idx), CHUNK):
-                sel = runny_idx[off : off + CHUNK]
-                nb = 1
-                while nb < len(sel):
-                    nb <<= 1
-                pad = np.zeros((nb, BLOCK_MAX), np.uint8)
-                pad[: len(sel)] = full[sel]
-                got = match_candidates(pad)
-                for j, b in enumerate(sel):
-                    cands[int(b)] = got[j]
-        except Exception:
-            pass  # no accelerator: the host fp4-map finder takes over
         metas = []
         for b in range(nfull):
             if (runny[b] or int((lens_all[b] > 0).sum()) < 2

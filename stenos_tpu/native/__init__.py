@@ -85,6 +85,9 @@ class _Native:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_size_t]
+        cdll.stn_matchiness.restype = ctypes.c_double
+        cdll.stn_matchiness.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t]
         cdll.stn_match_parse.restype = ctypes.c_ssize_t
         cdll.stn_match_parse.argtypes = [
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
@@ -357,6 +360,15 @@ class _Native:
         if r < 0:
             return int(r)
         return ops[:r]
+
+    def matchiness(self, data, sample_n: int = 16384) -> float:
+        """Duplicate-4-gram fraction of the block's first sample_n
+        positions (host routing twin of match_device.matchiness)."""
+        import numpy as np
+
+        data = np.ascontiguousarray(data, np.uint8)
+        return float(self._lib.stn_matchiness(
+            data.ctypes.data_as(ctypes.c_void_p), len(data), sample_n))
 
     def match_parse(self, data, cand=None, reps=(1, 4, 8)):
         """Greedy LZ77 parse of one block (<= 128 KiB): exact nearest-

@@ -768,9 +768,17 @@ struct BitW {
     void add(uint64_t v, int nb) {
         acc |= (v & ((1ull << nb) - 1)) << nbits;
         nbits += nb;
-        while (nbits >= 8) { out[n++] = (uint8_t)acc; acc >>= 8; nbits -= 8; }
+        if (nbits >= 32) {  // word flush: 4 LE bytes at once (same stream
+                            // bytes as the old byte loop, ~2x the encode)
+            const uint32_t w = (uint32_t)acc;
+            std::memcpy(out + n, &w, 4);
+            n += 4;
+            acc >>= 32;
+            nbits -= 32;
+        }
     }
     void pad() {
+        while (nbits >= 8) { out[n++] = (uint8_t)acc; acc >>= 8; nbits -= 8; }
         if (nbits) { out[n++] = (uint8_t)(acc & ((1 << nbits) - 1));
                      acc = 0; nbits = 0; }
     }
@@ -2387,53 +2395,80 @@ inline void build_codes(const uint8_t* len, uint32_t* codes) {
 
 // Compressed_Literals_Block, 4 streams, size_format 3 (5-byte header).
 // Returns section size, or 0 when the block must fall back.
-inline size_t compress_literals_c(const uint8_t* data, size_t n,
-                                  uint8_t* out, size_t cap) {
-    if (n < 64) return 0;
+// Literals-section PLAN: the exact compressed section size computed
+// arithmetically from the histogram + a length-LUT pass — no bitstream is
+// written. encode_block plans every candidate and materializes only the
+// winner's streams (the dominant per-block cost was losing candidates'
+// full Huffman encodes).
+struct LitPlan {
+    bool ok = false;
+    size_t csize = 0;  // payload bytes (tree + jump + streams)
+    size_t esz[4] = {0, 0, 0, 0};
+    uint8_t len[256];
+    uint32_t codes[256];
+    uint8_t tree[132];
+    int tsz = 0;
+};
+
+inline LitPlan plan_literals_c(const uint8_t* data, size_t n) {
+    LitPlan p;
+    if (n < 64) return p;
     int64_t cnt[256] = {0};
     for (size_t i = 0; i < n; ++i) ++cnt[data[i]];
-    uint8_t len[256];
-    stn_huff_lengths(cnt, 1, 11, len);
+    stn_huff_lengths(cnt, 1, 11, p.len);
     int n_used = 0;
-    for (int s = 0; s < 256; ++s) if (len[s]) ++n_used;
-    if (n_used < 2) return 0;
-    uint8_t tree[132];
-    const int tsz = huff_tree_desc(len, tree);
-    if (!tsz) return 0;
-    uint32_t codes[256];
-    build_codes(len, codes);
+    for (int s = 0; s < 256; ++s) if (p.len[s]) ++n_used;
+    if (n_used < 2) return p;
+    p.tsz = huff_tree_desc(p.len, p.tree);
+    if (!p.tsz) return p;
+    build_codes(p.len, p.codes);
     const size_t s1 = (n + 3) / 4;
-    // encode the 4 streams backward (decoder reads each backward)
-    std::vector<uint8_t> enc(4 * (s1 * 2 + 8));
-    size_t esz[4];
+    for (int j = 0; j < 4; ++j) {
+        const size_t lo = j * s1;
+        const size_t hi = j == 3 ? n : (j + 1) * s1;
+        uint64_t bits = 1;  // BitW.close() sentinel bit
+        for (size_t i = lo; i < hi; ++i) bits += p.len[data[i]];
+        p.esz[j] = (size_t)((bits + 7) >> 3);
+        if (j < 3 && p.esz[j] > 0xFFFF) return p;
+    }
+    p.csize = (size_t)p.tsz + 6 + p.esz[0] + p.esz[1] + p.esz[2] + p.esz[3];
+    if (p.csize >= n) return p;
+    p.ok = true;
+    return p;
+}
+
+inline size_t write_literals_c(const uint8_t* data, size_t n,
+                               const LitPlan& p, uint8_t* out, size_t cap) {
+    if (!p.ok || 5 + p.csize > cap) return 0;
+    const uint64_t hdr =
+        2ull | (3ull << 2) | ((uint64_t)n << 4) | ((uint64_t)p.csize << 22);
+    for (int i = 0; i < 5; ++i) out[i] = (uint8_t)(hdr >> (8 * i));
+    size_t w = 5;
+    std::memcpy(out + w, p.tree, p.tsz); w += (size_t)p.tsz;
+    for (int j = 0; j < 3; ++j) {
+        out[w++] = (uint8_t)(p.esz[j] & 255);
+        out[w++] = (uint8_t)(p.esz[j] >> 8);
+    }
+    const size_t s1 = (n + 3) / 4;
     for (int j = 0; j < 4; ++j) {
         const size_t lo = j * s1;
         const size_t hi = j == 3 ? n : (j + 1) * s1;
         BitW bw{};
-        bw.out = enc.data() + j * (s1 * 2 + 8);
+        bw.out = out + w;
+        // encode the stream backward (decoder reads it backward)
         for (size_t i = hi; i-- > lo;)
-            bw.add(codes[data[i]], len[data[i]]);
+            bw.add(p.codes[data[i]], p.len[data[i]]);
         bw.close();
-        esz[j] = (size_t)bw.n;
-        if (j < 3 && esz[j] > 0xFFFF) return 0;
-    }
-    const size_t csize = tsz + 6 + esz[0] + esz[1] + esz[2] + esz[3];
-    if (csize >= n) return 0;
-    if (5 + csize > cap) return 0;
-    const uint64_t hdr =
-        2ull | (3ull << 2) | ((uint64_t)n << 4) | ((uint64_t)csize << 22);
-    for (int i = 0; i < 5; ++i) out[i] = (uint8_t)(hdr >> (8 * i));
-    size_t w = 5;
-    std::memcpy(out + w, tree, tsz); w += tsz;
-    for (int j = 0; j < 3; ++j) {
-        out[w++] = (uint8_t)(esz[j] & 255);
-        out[w++] = (uint8_t)(esz[j] >> 8);
-    }
-    for (int j = 0; j < 4; ++j) {
-        std::memcpy(out + w, enc.data() + j * (s1 * 2 + 8), esz[j]);
-        w += esz[j];
+        w += (size_t)bw.n;  // == p.esz[j] by construction
     }
     return w;
+}
+
+inline size_t compress_literals_c(const uint8_t* data, size_t n,
+                                  uint8_t* out, size_t cap) {
+    const LitPlan p = plan_literals_c(data, n);
+    if (!p.ok) return 0;
+    return write_literals_c(data, n, p, out, cap);
 }
 
 // Raw_Literals_Block, size_format 3 (3-byte header)
@@ -2657,6 +2692,27 @@ inline ParseOut run_parse(const uint8_t* data, size_t n) {
 
 }  // namespace
 
+// Duplicate-4-gram fraction of the first sample_n positions — the host
+// twin of match_device.matchiness for ROUTING when the device round-trip
+// cannot pay (bus-aware router; NOTES.md relay D2H poisoning). A 16 KiB
+// prefix sample approximates the block's LZ potential at ~0.4 us/block.
+EXPORT double stn_matchiness(const uint8_t* data, size_t n,
+                             size_t sample_n) {
+    if (n < 8) return 0.0;
+    size_t m = n - 4;
+    if (sample_n && sample_n < m) m = sample_n;
+    Fp4Map map(m);
+    size_t hits = 0;
+    for (size_t p = 0; p < m; ++p) {
+        const uint32_t fp = fp4_at(data, p);
+        if (map.get(fp) >= 0)
+            ++hits;
+        else
+            map.put(fp, (int32_t)p);
+    }
+    return m ? (double)hits / (double)m : 0.0;
+}
+
 // Greedy parse to raw sequence triples. use_cand != 0 reads the device
 // candidate array; otherwise the exact fp4 map runs host-side. Returns
 // nseq (0 = matching not worthwhile) or a negative error; writes
@@ -2704,42 +2760,78 @@ EXPORT ptrdiff_t stn_encode_block(const uint8_t* data, size_t n,
         return 4;
     }
 
+    // Plan-then-materialize (byte-identical to the old all-candidates
+    // encode, ~2x faster): every candidate's literal-section size comes
+    // from plan_literals_c arithmetic; only the WINNER's Huffman streams
+    // are written. Selection order and strict-< tie-breaking mirror the
+    // python twin's stable min().
     std::vector<uint8_t> best;
     int64_t best_reps[3];
     std::vector<uint8_t> buf(2 * n + 1024);
-    // candidate 1: literals-only (registers unchanged)
+
+    struct Cand {
+        bool ok = false;
+        size_t size = 0;       // content bytes (lit section + seq section)
+        LitPlan lp;
+        size_t lit_n = 0;      // literal byte count (raw fallback size)
+        ParseOut r;            // parses only
+        std::vector<uint8_t> seq;
+        int64_t reps_out[3];
+    };
+    Cand cands[3];
+    // candidate 0: literals-only (registers unchanged)
     {
-        const size_t ls = compress_literals_c(data, n, buf.data(),
-                                              buf.size());
-        if (ls) {
-            best.assign(buf.data(), buf.data() + ls);
-            best.push_back(0);  // 0 sequences
-            best_reps[0] = reps[0]; best_reps[1] = reps[1];
-            best_reps[2] = reps[2];
+        Cand& c = cands[0];
+        c.lp = plan_literals_c(data, n);
+        c.lit_n = n;
+        if (c.lp.ok) {
+            c.ok = true;
+            c.size = 5 + c.lp.csize + 1;  // + the 0-sequences byte
+            c.reps_out[0] = reps[0]; c.reps_out[1] = reps[1];
+            c.reps_out[2] = reps[2];
         }
     }
-    // candidates 2, 3: run sequences, then greedy matches
+    // candidates 1, 2: run sequences, then greedy matches
     for (int finder = 0; finder < 2; ++finder) {
-        ParseOut r = finder == 0
-                         ? run_parse(data, n)
-                         : (use_cand ? cand_parse(data, n, cand, reps)
-                                     : hash_parse(data, n, reps));
-        if (!r.ok) continue;
-        size_t ls = compress_literals_c(r.lits.data(), r.lits.size(),
-                                        buf.data(), buf.size());
-        if (!ls)
-            ls = raw_literals_c(r.lits.data(), r.lits.size(), buf.data(),
-                                buf.size());
-        if (!ls) continue;
-        int64_t reps_out[3] = {reps[0], reps[1], reps[2]};
+        Cand& c = cands[1 + finder];
+        c.r = finder == 0 ? run_parse(data, n)
+                          : (use_cand ? cand_parse(data, n, cand, reps)
+                                      : hash_parse(data, n, reps));
+        if (!c.r.ok) continue;
+        c.lit_n = c.r.lits.size();
+        c.lp = plan_literals_c(c.r.lits.data(), c.lit_n);
+        const size_t ls = c.lp.ok ? 5 + c.lp.csize : 3 + c.lit_n;
+        c.reps_out[0] = reps[0]; c.reps_out[1] = reps[1];
+        c.reps_out[2] = reps[2];
+        c.seq.resize(n + 1024);
         const ptrdiff_t ss =
-            seq_encode(r.seqs.data(), r.seqs.size() / 3, reps_out,
-                       buf.data() + ls, buf.size() - ls);
+            seq_encode(c.r.seqs.data(), c.r.seqs.size() / 3, c.reps_out,
+                       c.seq.data(), c.seq.size());
         if (ss <= 0) continue;
-        if (best.empty() || ls + (size_t)ss < best.size()) {
-            best.assign(buf.data(), buf.data() + ls + ss);
-            best_reps[0] = reps_out[0]; best_reps[1] = reps_out[1];
-            best_reps[2] = reps_out[2];
+        c.seq.resize((size_t)ss);
+        c.ok = true;
+        c.size = ls + (size_t)ss;
+    }
+    int win = -1;
+    for (int i = 0; i < 3; ++i)
+        if (cands[i].ok && (win < 0 || cands[i].size < cands[win].size))
+            win = i;
+    if (win >= 0) {
+        const Cand& c = cands[win];
+        const uint8_t* lit_src = win == 0 ? data : c.r.lits.data();
+        size_t ls = c.lp.ok
+                        ? write_literals_c(lit_src, c.lit_n, c.lp,
+                                           buf.data(), buf.size())
+                        : raw_literals_c(lit_src, c.lit_n, buf.data(),
+                                         buf.size());
+        if (ls) {
+            best.assign(buf.data(), buf.data() + ls);
+            if (win == 0)
+                best.push_back(0);  // 0 sequences
+            else
+                best.insert(best.end(), c.seq.begin(), c.seq.end());
+            best_reps[0] = c.reps_out[0]; best_reps[1] = c.reps_out[1];
+            best_reps[2] = c.reps_out[2];
         }
     }
     if (best.empty() || best.size() >= n) {

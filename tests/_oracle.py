@@ -73,8 +73,29 @@ def bound(nbytes: int) -> int:
     return get_lib().stenos_bound(nbytes)
 
 
+_SCRIBBLE = bytes((i * 197 + 31) & 255 for i in range(8192))
+
+
+def _stabilize_lz_slot(lib):
+    """The reference's level-1 intra-block LZ hashes into an UNINITIALIZED
+    stack slot (block_compress.h:1211, NOTES.md 'reference bugs'): its
+    content depends on whatever the process stack held — jax/XLA activity
+    earlier in a test worker can leave garbage where a bogus candidate
+    validates, making level-1 parity nondeterministic (observed once in
+    ~7k fuzz iterations + one full-suite run). A level-2 compress runs
+    lz4_guess_ratio first, which scribbles that slot with positions from
+    THIS high-entropy buffer (they never validate as candidates for later
+    inputs), so every level-1 oracle call starts from the same state our
+    twin models."""
+    cap = lib.stenos_bound(len(_SCRIBBLE))
+    dst = ctypes.create_string_buffer(cap)
+    lib.stenos_compress(_SCRIBBLE, 4, len(_SCRIBBLE), dst, cap, 2)
+
+
 def compress(data: bytes, bytesoftype: int, level: int) -> bytes:
     lib = get_lib()
+    if level == 1:
+        _stabilize_lz_slot(lib)
     # exactly stenos_bound: method selection depends on the remaining dst
     # capacity (e.g. zstd is skipped when dstCapacity < srcSize + zstd
     # overhead, stenos.cpp serial path), so parity requires BOTH sides to
