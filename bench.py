@@ -340,7 +340,7 @@ def sec_entropy_decode(b):
     best = 0.0
     ok = False
     want = noisy2[: nblk2 * 131072].reshape(nblk2, 131072)[border]
-    versions = os.environ.get("STENOS_BENCH_HUF_VERSIONS", "2")
+    versions = os.environ.get("STENOS_BENCH_HUF_VERSIONS", "2,5")
     for kv in (int(x) for x in versions.split(",")):
 
         @partial(jax.jit, static_argnames=("v",))

@@ -18,6 +18,7 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import stenos_tpu as st
 
@@ -25,29 +26,12 @@ import stenos_tpu as st
 def datasets(mb: int, rng):
     n = mb * 1024 * 1024
 
-    # text-like (1 byte, skewed symbol distribution with repeats)
-    words = [rng.integers(97, 122, rng.integers(3, 9)).astype(np.uint8)
-             for _ in range(200)]
-    text = np.concatenate(
-        [words[i] for i in rng.integers(0, 200, n // 5)] + [np.full(1, 32, np.uint8)]
-    )[:n]
-    yield "text u8", 1, text.tobytes()
+    # realistic corpus families (frozen real text excerpt + matched-
+    # statistics image/mesh/timeseries — see benchs/datasets.py)
+    from datasets import families
 
-    # uint16 image-like (smooth 2D gradient + noise)
-    side = int((n // 2) ** 0.5)
-    yy, xx = np.mgrid[0:side, 0:side]
-    img = (xx * 7 + yy * 13 + rng.integers(0, 32, (side, side))).astype("<u2")
-    yield "image u16", 2, img.tobytes()[: (n // 2) * 2]
-
-    # float3 mesh-like (12-byte points, spatially correlated)
-    npts = n // 12
-    base = np.cumsum(rng.normal(0, 0.01, (npts, 3)).astype(np.float32), axis=0)
-    yield "mesh float3", 12, base.astype("<f4").tobytes()
-
-    # double time-series (smooth)
-    nd = n // 8
-    ts = np.cumsum(rng.normal(0, 1e-3, nd)) + 100.0
-    yield "timeseries f64", 8, ts.astype("<f8").tobytes()
+    for name, bpp, data in families(n):
+        yield name, bpp, data
 
     # sorted int32 (BASELINE config)
     ni = n // 4

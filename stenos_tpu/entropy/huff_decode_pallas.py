@@ -500,7 +500,125 @@ def make_decode_kernel_v3(R: int, G: int = 8, unroll: bool = False,
     return kernel
 
 
-DECODE_G = 8  # streams per v3 grid step
+def make_decode_kernel_v5(R: int, G: int = 8):
+    """v2's exact per-stream body — all (1, S)/(K, S) shapes, the layout
+    Mosaic executes at full rate — python-unrolled over G streams per grid
+    step, writing uint8.
+
+    Round-4 hardware ablation findings (tools/ablate_hufdec.py) behind
+    this design:
+      - every pallas dispatch on this relay costs ~24 ms BEFORE the kernel
+        runs; all round-3 per-variant numbers were dispatch-dominated;
+      - v2's true kernel time was ~14 ms / 17 MB, of which the (K, S)
+        masked ranks-writes were 61% — grouping G=8 streams per grid step
+        restructures those to ~nothing (8.4 ms / 17 MB measured);
+      - v3/v4's batched (G, S) state ops lower catastrophically (a (4,256)
+        `one()` costs ~10x a (1,256) one) — multi-stream batching must be
+        SEQUENTIAL per stream, not shape-batched;
+      - the window gather (one-hot MXU dot + transpose + byte-combine) is
+        ~free (<1 ms / 17 MB): not worth redesigning;
+      - uint8 output quarters the out-DMA for free (symbols are bytes).
+    """
+    S = SEGS
+
+    def body(sb, anch, tab):
+        r_abs = anch.T                          # (1, S)
+        lob = jnp.maximum(r_abs.T - 11 * K, 0) >> 3
+        row0 = lob >> 7
+        ridx = row0 + _iota((S, 1, 3), 2).reshape(S, 3)
+        ridx = jnp.minimum(ridx, R - 1)
+        oh = (_iota((S, 3, R), 2) == ridx[:, :, None]).reshape(
+            S * 3, R).astype(jnp.bfloat16)
+        vbf = sb.astype(jnp.int32).astype(jnp.bfloat16)
+        g = jax.lax.dot_general(
+            oh, vbf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        win = g.astype(jnp.int32).reshape(S, WB)
+        wv = win.T
+        v4 = wv.reshape(96, 4, S)
+        w32 = (v4[:, 0, :] | (v4[:, 1, :] << 8) | (v4[:, 2, :] << 16)
+               | (v4[:, 3, :] << 24))
+        ws8 = (row0.T << 10)
+        r = r_abs - ws8
+        wsub = _iota((96, S), 0)
+
+        def fetch(widx):
+            return jnp.sum(jnp.where(wsub == widx, w32, 0), axis=0,
+                           keepdims=True)
+
+        pb = jnp.maximum(-(-(r - 64) // 32), 0)
+        lo = fetch(pb)
+        hi = fetch(jnp.minimum(pb + 1, 95))
+
+        E, D = [], []
+        for l in range(1, 12):
+            base_l = tab[0, l]
+            n_l = tab[0, 12 + l]
+            off_l = tab[0, 24 + l]
+            E.append((base_l + n_l) << (11 - l))
+            D.append(off_l - base_l)
+
+        def one(r, pb, lo, hi):
+            s = r - 11 - (pb << 5)
+            sc = jnp.clip(s, 0, 53)
+            Wn = jnp.where(
+                sc >= 32, hi >> (sc - 32),
+                (jax.lax.shift_right_logical(lo, sc)
+                 | ((hi << (31 - sc)) << 1)))
+            rc = jnp.clip(r, 0, 11)
+            Wb = (lo & ((1 << rc) - 1)) << (11 - rc)
+            W = jnp.where(r >= 11, Wn, Wb) & 0x7FF
+            cnt = jnp.zeros((1, S), jnp.int32)
+            for l in range(11):
+                cnt = cnt + (W >= E[l]).astype(jnp.int32)
+            ln = 11 - cnt
+            cand = W >> (11 - ln)
+            dd = jnp.zeros((1, S), jnp.int32)
+            for l in range(11):
+                dd = jnp.where(ln == l + 1, D[l], dd)
+            return ln, cand + dd
+
+        def pair(carry):
+            r, pb, lo, hi = carry
+            need = (pb > 0) & ((pb << 5) > r - 33)
+            pbn = pb - 1
+            nlo = fetch(jnp.maximum(pbn, 0))
+            pb = jnp.where(need, pbn, pb)
+            hi = jnp.where(need, lo, hi)
+            lo = jnp.where(need, nlo, lo)
+            ln0, idx0 = one(r, pb, lo, hi)
+            r = r - ln0
+            ln1, idx1 = one(r, pb, lo, hi)
+            r = r - ln1
+            return (r, pb, lo, hi), idx0, idx1
+
+        kcol = _iota((K, S), 0)
+
+        def step(k2, st):
+            carry, ranks = st
+            carry, idx0, idx1 = pair(carry)
+            ranks = jnp.where(kcol == 2 * k2, idx0, ranks)
+            ranks = jnp.where(kcol == 2 * k2 + 1, idx1, ranks)
+            return carry, ranks
+
+        _, ranks = jax.lax.fori_loop(
+            0, K // 2, step,
+            ((r, pb, lo, hi), jnp.zeros((K, S), jnp.int32)))
+
+        out = jnp.zeros((K, S), jnp.int32)
+        for sym in range(256):
+            out = jnp.where(ranks == sym, tab[0, 40 + sym], out)
+        return out.T
+
+    def kernel(sb_ref, anch_ref, tab_ref, out_ref):
+        for g in range(G):
+            out_ref[g] = body(sb_ref[g], anch_ref[g],
+                              tab_ref[g]).astype(jnp.uint8)
+
+    return kernel
+
+
+DECODE_G = 8  # streams per v3/v5 grid step
 
 
 @lru_cache(maxsize=16)
@@ -508,6 +626,27 @@ def _decode_call(ns: int, R: int, interpret: bool, v: int = 1):
     # unroll=False everywhere: measured identical to the full unroll on
     # TPU (the remaining cost is the per-symbol op chain), and the fori
     # form traces/compiles an order of magnitude faster
+    if v == 5:
+        G = DECODE_G
+        kernel = make_decode_kernel_v5(R, G)
+        return pl.pallas_call(
+            kernel,
+            grid=(ns // G,),
+            in_specs=[
+                pl.BlockSpec((G, R, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, SEGS, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, 1, 304), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((G, SEGS, K), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ns, SEGS, K), jnp.uint8),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
     if v in (3, 4):
         G = DECODE_G
         kernel = make_decode_kernel_v3(R, G, unroll=False,
@@ -566,17 +705,19 @@ def decode_streams_device(stream_bytes, anchors, tables,
     decode_tables. Returns (ns, 32768) int32 symbols.
 
     v: kernel version (2 = per-stream, 3 = 8-stream batched, 4 = 3 +
-    two-level refill); None reads STENOS_HUF_DECODE_V (default 2) so
-    hardware A/B needs no code edits."""
+    two-level refill, 5 = per-stream body x8 per grid step + uint8 out,
+    the round-4 hardware winner); None reads STENOS_HUF_DECODE_V (default
+    5) so hardware A/B needs no code edits. v5 returns uint8 (symbols are
+    bytes); other versions return int32."""
     if v is None:
         import os
 
-        v = int(os.environ.get("STENOS_HUF_DECODE_V", "2"))
+        v = int(os.environ.get("STENOS_HUF_DECODE_V", "5"))
     import jax.numpy as _jnp
 
     ns = stream_bytes.shape[0]
     R = stream_bytes.shape[1] // 128
-    if v in (3, 4) and ns % DECODE_G:
+    if v in (3, 4, 5) and ns % DECODE_G:
         # pad the stream batch to the v3 group size (padding decodes to
         # discarded garbage; anchors 0 keep every cursor in-bounds)
         pad = DECODE_G - ns % DECODE_G

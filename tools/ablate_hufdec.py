@@ -46,28 +46,72 @@ def make_v2(R, abl=""):
         tab = tab_ref[0]
         r_abs = anch_ref[0].T
 
+        if abl.endswith("empty"):
+            out_ref[0] = jnp.zeros((S, K), jnp.int32) + anch_ref[0]
+            return
         lob = jnp.maximum(r_abs.T - 11 * K, 0) >> 3
         row0 = lob >> 7
-        ridx = row0 + _iota((S, 1, 3), 2).reshape(S, 3)
-        ridx = jnp.minimum(ridx, R - 1)
-        oh = (_iota((S, 3, R), 2) == ridx[:, :, None]).reshape(
-            S * 3, R).astype(jnp.bfloat16)
-        vbf = sb_ref[0].astype(jnp.int32).astype(jnp.bfloat16)
-        g = jax.lax.dot_general(
-            oh, vbf, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        win = g.astype(jnp.int32).reshape(S, WB)
-        wv = win.T
-        v4 = wv.reshape(96, 4, S)
-        w32 = (v4[:, 0, :] | (v4[:, 1, :] << 8) | (v4[:, 2, :] << 16)
-               | (v4[:, 3, :] << 24))
+        if "fastg" in abl:
+            # transpose-free word gather: (1) one static matmul combines
+            # byte columns into 16-bit halves; (2) the one-hot sits on the
+            # LEFT operand's contraction side so the result is word-major
+            # (96, S) directly — no (S, 384) transpose, half the MACs.
+            bi = _iota((128, 64), 0)
+            ji = _iota((128, 64), 1)
+            hi_half = (ji >= 32).astype(jnp.int32)
+            jj = ji - 32 * hi_half
+            wc = ((bi == 4 * jj + 2 * hi_half).astype(jnp.float32)
+                  + 256.0 * (bi == 4 * jj + 1 + 2 * hi_half
+                             ).astype(jnp.float32))
+            vf = sb_ref[0].astype(jnp.int32).astype(jnp.float32)  # (R,128)
+            w16 = jax.lax.dot_general(
+                vf, wc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (R, 64)
+            ohT = jnp.concatenate(
+                [(_iota((R, S), 0)
+                  == jnp.minimum(row0 + t, R - 1).T).astype(jnp.float32)
+                 for t in range(3)], axis=1)                  # (R, 3S)
+            g2 = jax.lax.dot_general(
+                w16, ohT, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (64, 3S)
+            gi = g2.astype(jnp.int32)
+            w32 = jnp.concatenate(
+                [gi[:32, t * S : (t + 1) * S]
+                 | (gi[32:, t * S : (t + 1) * S] << 16)
+                 for t in range(3)], axis=0)                  # (96, S)
+            if abl.endswith("prologue"):
+                out_ref[0] = (jnp.zeros((S, K), jnp.int32)
+                              + jnp.sum(w32, axis=0, keepdims=True).T)
+                return
+        else:
+            ridx = row0 + _iota((S, 1, 3), 2).reshape(S, 3)
+            ridx = jnp.minimum(ridx, R - 1)
+            oh = (_iota((S, 3, R), 2) == ridx[:, :, None]).reshape(
+                S * 3, R).astype(jnp.bfloat16)
+            vbf = sb_ref[0].astype(jnp.int32).astype(jnp.bfloat16)
+            g = jax.lax.dot_general(
+                oh, vbf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if abl.endswith("dotonly"):
+                out_ref[0] = (jnp.zeros((S, K), jnp.int32)
+                              + g.astype(jnp.int32)[:S, :K])
+                return
+            win = g.astype(jnp.int32).reshape(S, WB)
+            wv = win.T
+            v4 = wv.reshape(96, 4, S)
+            w32 = (v4[:, 0, :] | (v4[:, 1, :] << 8) | (v4[:, 2, :] << 16)
+                   | (v4[:, 3, :] << 24))
+            if abl.endswith("w32"):
+                out_ref[0] = (jnp.zeros((S, K), jnp.int32)
+                              + jnp.sum(w32, axis=0, keepdims=True).T)
+                return
 
         ws8 = (row0.T << 10)
         r = r_abs - ws8
         wsub = _iota((96, S), 0)
 
         def fetch(widx):
-            if abl == "nofetch":
+            if abl.endswith("nofetch"):
                 return w32[0:1]
             return jnp.sum(jnp.where(wsub == widx, w32, 0), axis=0,
                            keepdims=True)
@@ -75,6 +119,11 @@ def make_v2(R, abl=""):
         pb = jnp.maximum(-(-(r - 64) // 32), 0)
         lo = fetch(pb)
         hi = fetch(jnp.minimum(pb + 1, 95))
+
+        if abl.endswith("prologue"):
+            out_ref[0] = (jnp.zeros((S, K), jnp.int32)
+                          + (lo + hi + r).T)
+            return
 
         E, D = [], []
         for l in range(1, 12):
@@ -118,7 +167,7 @@ def make_v2(R, abl=""):
             r = r - ln1
             return (r, pb, lo, hi), idx0, idx1
 
-        if abl == "noranks":
+        if abl.endswith("noranks"):
             def step(k2, st):
                 carry, acc = st
                 carry, idx0, idx1 = pair(carry)
@@ -127,7 +176,7 @@ def make_v2(R, abl=""):
             _, acc = jax.lax.fori_loop(
                 0, K // 2, step,
                 ((r, pb, lo, hi), jnp.zeros((1, S), jnp.int32)))
-            out_ref[0] = jnp.broadcast_to(acc, (S, K)) * 0 + acc.T
+            out_ref[0] = jnp.zeros((S, K), jnp.int32) + acc.T
             return
 
         kcol = _iota((K, S), 0)
@@ -143,7 +192,7 @@ def make_v2(R, abl=""):
             0, K // 2, step,
             ((r, pb, lo, hi), jnp.zeros((K, S), jnp.int32)))
 
-        if abl == "nosym":
+        if abl.endswith("nosym"):
             out_ref[0] = ranks.T
         elif abl == "mxusym":
             # one-hot bf16 MXU gather: out[k,s] = syms[ranks[k,s]]
@@ -193,7 +242,7 @@ def make_v3(R, G=8, abl=""):
         wsub = _iota((1, 96, 1), 1)
 
         def fetch(widx):
-            if abl == "nofetch":
+            if abl.endswith("nofetch"):
                 return w32[:, 0, :]
             return jnp.sum(
                 jnp.where(wsub == widx[:, None, :], w32, 0), axis=1)
@@ -202,11 +251,181 @@ def make_v3(R, G=8, abl=""):
         lo = fetch(pb)
         hi = fetch(jnp.minimum(pb + 1, 95))
 
+        if abl.endswith("prologue"):
+            # prologue + output only: no decode loop at all
+            out_ref[...] = (jnp.zeros((G, S, K), jnp.int32)
+                            + (lo + hi + r)[:, :, None])
+            return
+        if abl.endswith("noout"):
+            # prologue + single-lane output: isolates the gather from the
+            # (G, S, K) broadcast write
+            out_ref[:, :, 0:1] = (lo + hi + r)[:, :, None]
+            return
+
         E, D = [], []
         for l in range(1, 12):
             base_l = tab[:, l : l + 1]
             n_l = tab[:, 12 + l : 13 + l]
             off_l = tab[:, 24 + l : 25 + l]
+            e = (base_l + n_l) << (11 - l)
+            d = off_l - base_l
+            if "hoist" in abl:
+                # materialize the per-stream scalars as full (G, S) vregs
+                # ONCE: inside the loop a (G,1) -> (G,S) lane-broadcast per
+                # compare is a memory round trip, 44 of them per iteration
+                e = jnp.broadcast_to(e, (G, S)) + jnp.zeros((G, S), jnp.int32)
+                d = jnp.broadcast_to(d, (G, S)) + jnp.zeros((G, S), jnp.int32)
+            E.append(e)
+            D.append(d)
+
+        def one(r, pb, lo, hi):
+            if abl.endswith("cheapone"):
+                # trivial decode step: isolates loop mechanics from the
+                # window-extract + canonical-range chain
+                return jnp.full((G, S), 6, jnp.int32), (lo + r) & 255
+            if abl.endswith("exonly"):
+                # window extract only, constant length
+                s = r - 11 - (pb << 5)
+                sc = jnp.clip(s, 0, 53)
+                Wn = jnp.where(
+                    sc >= 32, hi >> (sc - 32),
+                    (jax.lax.shift_right_logical(lo, sc)
+                     | ((hi << (31 - sc)) << 1)))
+                rc = jnp.clip(r, 0, 11)
+                Wb = (lo & ((1 << rc) - 1)) << (11 - rc)
+                W = jnp.where(r >= 11, Wn, Wb) & 0x7FF
+                return jnp.full((G, S), 6, jnp.int32), W & 255
+            if abl.endswith("cntonly"):
+                # canonical range chains only, constant window
+                W = (lo + r) & 0x7FF
+                cnt = jnp.zeros((G, S), jnp.int32)
+                for l in range(11):
+                    cnt = cnt + (W >= E[l]).astype(jnp.int32)
+                ln = 11 - cnt
+                cand = W >> (11 - ln)
+                dd = jnp.zeros((G, S), jnp.int32)
+                for l in range(11):
+                    dd = jnp.where(ln == l + 1, D[l], dd)
+                return jnp.maximum(ln, 1), cand + dd
+            s = r - 11 - (pb << 5)
+            sc = jnp.clip(s, 0, 53)
+            Wn = jnp.where(
+                sc >= 32, hi >> (sc - 32),
+                (jax.lax.shift_right_logical(lo, sc)
+                 | ((hi << (31 - sc)) << 1)))
+            rc = jnp.clip(r, 0, 11)
+            Wb = (lo & ((1 << rc) - 1)) << (11 - rc)
+            W = jnp.where(r >= 11, Wn, Wb) & 0x7FF
+            cnt = jnp.zeros((G, S), jnp.int32)
+            for l in range(11):
+                cnt = cnt + (W >= E[l]).astype(jnp.int32)
+            ln = 11 - cnt
+            cand = W >> (11 - ln)
+            dd = jnp.zeros((G, S), jnp.int32)
+            for l in range(11):
+                dd = jnp.where(ln == l + 1, D[l], dd)
+            return ln, cand + dd
+
+        def pair(carry):
+            r, pb, lo, hi = carry
+            need = (pb > 0) & ((pb << 5) > r - 33)
+            pbn = pb - 1
+            nlo = fetch(jnp.maximum(pbn, 0))
+            pb = jnp.where(need, pbn, pb)
+            hi = jnp.where(need, lo, hi)
+            lo = jnp.where(need, nlo, lo)
+            ln0, idx0 = one(r, pb, lo, hi)
+            r = r - ln0
+            ln1, idx1 = one(r, pb, lo, hi)
+            r = r - ln1
+            return (r, pb, lo, hi), idx0, idx1
+
+        if abl.endswith("noranks"):
+            def step(k2, st):
+                carry, acc = st
+                carry, idx0, idx1 = pair(carry)
+                return carry, acc + idx0 + idx1
+
+            _, acc = jax.lax.fori_loop(
+                0, K // 2, step,
+                ((r, pb, lo, hi), jnp.zeros((G, S), jnp.int32)))
+            out_ref[...] = jnp.zeros((G, S, K), jnp.int32) + acc[:, :, None]
+            return
+
+        kcol = _iota((1, K, S), 1)
+
+        def step(k2, st):
+            carry, ranks = st
+            carry, idx0, idx1 = pair(carry)
+            ranks = jnp.where(kcol == 2 * k2, idx0[:, None, :], ranks)
+            ranks = jnp.where(kcol == 2 * k2 + 1, idx1[:, None, :], ranks)
+            return carry, ranks
+
+        _, ranks = jax.lax.fori_loop(
+            0, K // 2, step,
+            ((r, pb, lo, hi), jnp.zeros((G, K, S), jnp.int32)))
+
+        if abl.endswith("nosym"):
+            out_ref[...] = ranks.transpose(0, 2, 1)
+        else:
+            out = jnp.zeros((G, K, S), jnp.int32)
+            for sym in range(256):
+                out = jnp.where(ranks == sym,
+                                tab[:, 40 + sym][:, None, None], out)
+            out_ref[...] = out.transpose(0, 2, 1)
+
+    return kernel
+
+
+
+def make_v4s(R, G=4, abl=""):
+    """v2's structure (scalar E/D in sregs) batched over the 4 streams of
+    ONE block — they share a single Huffman table, so the canonical-range
+    constants stay scalars while every state vector packs (4, 256) lanes.
+    Register-pressure-safe by construction: the live vector set matches
+    v2's, just 4x wider per op."""
+    def kernel(sb_ref, anch_ref, tab_ref, out_ref):
+        tab = tab_ref[0, 0]                    # (304,) shared by 4 streams
+        r_abs = anch_ref[:, :, 0]              # (G, S)
+
+        lob = jnp.maximum(r_abs - 11 * K, 0) >> 3
+        row0 = lob >> 7
+        oh = jnp.concatenate(
+            [(_iota((G, R, S), 1)
+              == jnp.minimum(row0 + t, R - 1)[:, None, :]).astype(
+                  jnp.bfloat16) for t in range(3)],
+            axis=2)                            # (G, R, 3S)
+        vbf = sb_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
+        x = jax.lax.dot_general(
+            vbf, oh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        xi = x.astype(jnp.int32)
+        rows = []
+        for t in range(3):
+            xt = xi[:, :, t * S : (t + 1) * S].reshape(G, 32, 4, S)
+            rows.append(xt[:, :, 0] | (xt[:, :, 1] << 8)
+                        | (xt[:, :, 2] << 16) | (xt[:, :, 3] << 24))
+        w32 = jnp.concatenate(rows, axis=1)    # (G, 96, S)
+
+        ws8 = row0 << 10
+        r = r_abs - ws8
+        wsub = _iota((1, 96, 1), 1)
+
+        def fetch(widx):
+            if abl.endswith("nofetch"):
+                return w32[:, 0, :]
+            return jnp.sum(
+                jnp.where(wsub == widx[:, None, :], w32, 0), axis=1)
+
+        pb = jnp.maximum(-(-(r - 64) // 32), 0)
+        lo = fetch(pb)
+        hi = fetch(jnp.minimum(pb + 1, 95))
+
+        E, D = [], []                          # SCALARS (sregs)
+        for l in range(1, 12):
+            base_l = tab[l]
+            n_l = tab[12 + l]
+            off_l = tab[24 + l]
             E.append((base_l + n_l) << (11 - l))
             D.append(off_l - base_l)
 
@@ -244,7 +463,7 @@ def make_v3(R, G=8, abl=""):
             r = r - ln1
             return (r, pb, lo, hi), idx0, idx1
 
-        if abl == "noranks":
+        if abl.endswith("noranks"):
             def step(k2, st):
                 carry, acc = st
                 carry, idx0, idx1 = pair(carry)
@@ -269,14 +488,162 @@ def make_v3(R, G=8, abl=""):
             0, K // 2, step,
             ((r, pb, lo, hi), jnp.zeros((G, K, S), jnp.int32)))
 
-        if abl == "nosym":
+        if abl.endswith("nosym"):
             out_ref[...] = ranks.transpose(0, 2, 1)
+            return
+        out = jnp.zeros((G, K, S), jnp.int32)
+        for sym in range(256):
+            out = jnp.where(ranks == sym, tab[40 + sym], out)
+        out_ref[...] = out.transpose(0, 2, 1)
+
+    return kernel
+
+
+
+def make_v2seq(R, G=8, abl="", out_u8=True):
+    """v2's exact per-stream body (all (1,S)/(K,S) shapes — the proven-fast
+    layout), python-unrolled over G streams per grid step to amortize the
+    per-step fixed cost, with uint8 output (4x less out-DMA).
+
+    'scratch' variant: ranks are written with dynamic-SUBLANE stores into a
+    VMEM scratch row (O(1) per symbol) instead of the (K, S) masked select
+    (O(K) per symbol — 61% of v2's kernel time)."""
+    def body(sb, anch, tab, abl, ranks_ref=None):
+        r_abs = anch.T                          # (1, S)
+        lob = jnp.maximum(r_abs.T - 11 * K, 0) >> 3
+        row0 = lob >> 7
+        ridx = row0 + _iota((S, 1, 3), 2).reshape(S, 3)
+        ridx = jnp.minimum(ridx, R - 1)
+        oh = (_iota((S, 3, R), 2) == ridx[:, :, None]).reshape(
+            S * 3, R).astype(jnp.bfloat16)
+        vbf = sb.astype(jnp.int32).astype(jnp.bfloat16)
+        g = jax.lax.dot_general(
+            oh, vbf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        win = g.astype(jnp.int32).reshape(S, WB)
+        wv = win.T
+        v4 = wv.reshape(96, 4, S)
+        w32 = (v4[:, 0, :] | (v4[:, 1, :] << 8) | (v4[:, 2, :] << 16)
+               | (v4[:, 3, :] << 24))
+        ws8 = (row0.T << 10)
+        r = r_abs - ws8
+        wsub = _iota((96, S), 0)
+
+        def fetch(widx):
+            return jnp.sum(jnp.where(wsub == widx, w32, 0), axis=0,
+                           keepdims=True)
+
+        pb = jnp.maximum(-(-(r - 64) // 32), 0)
+        lo = fetch(pb)
+        hi = fetch(jnp.minimum(pb + 1, 95))
+
+        E, D = [], []
+        for l in range(1, 12):
+            base_l = tab[0, l]
+            n_l = tab[0, 12 + l]
+            off_l = tab[0, 24 + l]
+            E.append((base_l + n_l) << (11 - l))
+            D.append(off_l - base_l)
+
+        def one(r, pb, lo, hi):
+            s = r - 11 - (pb << 5)
+            sc = jnp.clip(s, 0, 53)
+            Wn = jnp.where(
+                sc >= 32, hi >> (sc - 32),
+                (jax.lax.shift_right_logical(lo, sc)
+                 | ((hi << (31 - sc)) << 1)))
+            rc = jnp.clip(r, 0, 11)
+            Wb = (lo & ((1 << rc) - 1)) << (11 - rc)
+            W = jnp.where(r >= 11, Wn, Wb) & 0x7FF
+            cnt = jnp.zeros((1, S), jnp.int32)
+            for l in range(11):
+                cnt = cnt + (W >= E[l]).astype(jnp.int32)
+            ln = 11 - cnt
+            cand = W >> (11 - ln)
+            dd = jnp.zeros((1, S), jnp.int32)
+            for l in range(11):
+                dd = jnp.where(ln == l + 1, D[l], dd)
+            return ln, cand + dd
+
+        def pair(carry):
+            r, pb, lo, hi = carry
+            need = (pb > 0) & ((pb << 5) > r - 33)
+            pbn = pb - 1
+            nlo = fetch(jnp.maximum(pbn, 0))
+            pb = jnp.where(need, pbn, pb)
+            hi = jnp.where(need, lo, hi)
+            lo = jnp.where(need, nlo, lo)
+            ln0, idx0 = one(r, pb, lo, hi)
+            r = r - ln0
+            ln1, idx1 = one(r, pb, lo, hi)
+            r = r - ln1
+            return (r, pb, lo, hi), idx0, idx1
+
+        if "scratch" in abl and ranks_ref is not None:
+            def step_s(k2, carry):
+                carry, idx0, idx1 = pair(carry)
+                ranks_ref[pl.ds(2 * k2, 1), :] = idx0
+                ranks_ref[pl.ds(2 * k2 + 1, 1), :] = idx1
+                return carry
+
+            jax.lax.fori_loop(0, K // 2, step_s, (r, pb, lo, hi))
+            ranks = ranks_ref[...]
         else:
-            out = jnp.zeros((G, K, S), jnp.int32)
-            for sym in range(256):
-                out = jnp.where(ranks == sym,
-                                tab[:, 40 + sym][:, None, None], out)
-            out_ref[...] = out.transpose(0, 2, 1)
+            kcol = _iota((K, S), 0)
+
+            def step(k2, st):
+                carry, ranks = st
+                carry, idx0, idx1 = pair(carry)
+                ranks = jnp.where(kcol == 2 * k2, idx0, ranks)
+                ranks = jnp.where(kcol == 2 * k2 + 1, idx1, ranks)
+                return carry, ranks
+
+            _, ranks = jax.lax.fori_loop(
+                0, K // 2, step,
+                ((r, pb, lo, hi), jnp.zeros((K, S), jnp.int32)))
+
+        if abl.endswith("nosym"):
+            return ranks.T
+        out = jnp.zeros((K, S), jnp.int32)
+        for sym in range(256):
+            out = jnp.where(ranks == sym, tab[0, 40 + sym], out)
+        return out.T
+
+    def kernel(sb_ref, anch_ref, tab_ref, out_ref, *scratch):
+        if abl.endswith("empty"):
+            for g in range(G):
+                out_ref[g] = (jnp.zeros((S, K), jnp.int32)
+                              + anch_ref[g]).astype(out_ref.dtype)
+            return
+        if abl.endswith("gather"):
+            # everything through w32 per stream, no decode loop
+            for g in range(G):
+                sb = sb_ref[g]
+                anch = anch_ref[g]
+                r_abs = anch.T
+                lob = jnp.maximum(r_abs.T - 11 * K, 0) >> 3
+                row0 = lob >> 7
+                ridx = row0 + _iota((S, 1, 3), 2).reshape(S, 3)
+                ridx = jnp.minimum(ridx, R - 1)
+                oh = (_iota((S, 3, R), 2) == ridx[:, :, None]).reshape(
+                    S * 3, R).astype(jnp.bfloat16)
+                vbf = sb.astype(jnp.int32).astype(jnp.bfloat16)
+                gg = jax.lax.dot_general(
+                    oh, vbf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                win = gg.astype(jnp.int32).reshape(S, WB)
+                wv = win.T
+                v4 = wv.reshape(96, 4, S)
+                w32 = (v4[:, 0, :] | (v4[:, 1, :] << 8)
+                       | (v4[:, 2, :] << 16) | (v4[:, 3, :] << 24))
+                out_ref[g] = (jnp.zeros((S, K), jnp.int32)
+                              + jnp.sum(w32, axis=0, keepdims=True).T
+                              ).astype(out_ref.dtype)
+            return
+        for g in range(G):
+            out = body(sb_ref[g], anch_ref[g], tab_ref[g], abl,
+                       scratch[0] if scratch else None)
+            out_ref[g] = out.astype(out_ref.dtype)
 
     return kernel
 
@@ -335,8 +702,8 @@ def timed(fn, reps=3):
 
 def main():
     variants = sys.argv[1].split(",") if len(sys.argv) > 1 else [
-        "v2", "v2-nosym", "v2-mxusym", "v2-noranks", "v2-nofetch",
-        "v3", "v3-nosym", "v3-noranks", "v3-nofetch"]
+        "v2", "v3", "v3-hoist", "v3-hoist-nosym", "v3-hoist-noranks",
+        "v3-hoist-nofetch"]
     ns = int(os.environ.get("ABL_NS", "512"))
     s_d, a_d, t_d, syms, R = build_inputs(ns)
     nbytes = ns * 32768
@@ -345,7 +712,52 @@ def main():
     for v in variants:
         fam, _, abl = v.partition("-")
         try:
-            if fam == "v2":
+            if fam == "v5":
+                from stenos_tpu.entropy.huff_decode_pallas import _decode_call
+                call5 = _decode_call(ns, R, False, 5)
+
+                @jax.jit
+                def run(s, a, t):
+                    w = call5(s.reshape(ns, R, 128),
+                              a.reshape(ns, SEGS, 1),
+                              t.reshape(ns, 1, 304))
+                    return w, jnp.sum(w.astype(jnp.int32))
+
+                tt = timed(lambda: int(run(s_d, a_d, t_d)[1]))
+                gbps = nbytes / tt / 1e9
+                w = np.asarray(run(s_d, a_d, t_d)[0])
+                got = w.reshape(ns, SEGS * K).astype(np.uint8)
+                ok = got.tobytes() == syms.reshape(ns, -1).tobytes()
+                print(f"{v:12s} {tt*1e3:8.1f} ms  {gbps:6.3f} GB/s"
+                      f"{' OK' if ok else ' WRONG-OUTPUT'}", flush=True)
+                continue
+            if fam.startswith("v2seq"):
+                G = int(fam[5:] or "8")
+                u8 = "i32out" not in abl
+                kern = make_v2seq(R, G, abl, out_u8=u8)
+                odt = jnp.uint8 if u8 else jnp.int32
+                scratch_shapes = ([pltpu.VMEM((K, SEGS), jnp.int32)]
+                                  if "scratch" in abl else [])
+                call = pl.pallas_call(
+                    kern,
+                    grid=(ns // G,),
+                    scratch_shapes=scratch_shapes,
+                    in_specs=[
+                        pl.BlockSpec((G, R, 128), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((G, SEGS, 1), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((G, 1, 304), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((G, SEGS, K),
+                                           lambda i: (i, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((ns, SEGS, K), odt),
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=100 * 1024 * 1024),
+                )
+            elif fam == "v2":
                 kern = make_v2(R, abl)
                 call = pl.pallas_call(
                     kern,
@@ -364,8 +776,14 @@ def main():
                     out_shape=jax.ShapeDtypeStruct((ns, SEGS, K), jnp.int32),
                 )
             else:
-                G = 8
-                kern = make_v3(R, G, abl)
+                G = 4 if fam == "v4s" else 8
+                kern = (make_v4s(R, G, abl) if fam == "v4s"
+                        else make_v3(R, G, abl))
+                tspec = pl.BlockSpec((1, 1, 304), lambda i: (i * 4, 0, 0),
+                                     memory_space=pltpu.VMEM) \
+                    if fam == "v4s" else \
+                    pl.BlockSpec((G, 1, 304), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
                 call = pl.pallas_call(
                     kern,
                     grid=(ns // G,),
@@ -374,8 +792,7 @@ def main():
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((G, SEGS, 1), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM),
-                        pl.BlockSpec((G, 1, 304), lambda i: (i, 0, 0),
-                                     memory_space=pltpu.VMEM),
+                        tspec,
                     ],
                     out_specs=pl.BlockSpec((G, SEGS, K),
                                            lambda i: (i, 0, 0),
