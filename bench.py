@@ -220,7 +220,9 @@ def sec_decode(b):
 def sec_roundtrip(b):
     from stenos_tpu.engine_jax import _bucket125, roundtrip_device
 
-    rtb = min(b.nbytes, 128 * 1024 * 1024)
+    # full input: each timed call pays ~24 ms of relay dispatch (NOTES.md
+    # round-4), so small slices measure the dispatch, not the loop
+    rtb = min(b.nbytes, 512 * 1024 * 1024)
     rt_in = b.batch_dev[: rtb // SB]
 
     def rt_once(rb=None):
@@ -301,11 +303,13 @@ def sec_entropy_decode(b):
     from stenos_tpu.entropy.zstd_frame import encode_frame_device
     from stenos_tpu.entropy.zstd_parse import parse_frame
 
-    ebytes = min(b.nbytes, 64 * 1024 * 1024)
+    ebytes = min(b.nbytes, 128 * 1024 * 1024)
     nblk2 = ebytes // 131072
     # iid skewed bytes: Huffman-compressible (~6 bits/sym) but match-free,
     # so the matchiness router keeps every block literals-only and the
-    # metric times the anchored decode KERNEL
+    # metric times the anchored decode KERNEL. 128 MB input: every timed
+    # call pays a ~24 ms relay dispatch round-trip (NOTES.md round-4);
+    # smaller inputs measure the dispatch, not the kernel.
     noisy2 = b.rng.integers(0, 64, ebytes).astype(np.uint8)
     noisy2[b.rng.integers(0, ebytes, ebytes // 16)] = b.rng.integers(
         0, 256, ebytes // 16)
@@ -368,6 +372,36 @@ def sec_entropy_decode(b):
     b.extra["entropy_decode_kernel_gbps"] = round(best, 3)
     b.extra["entropy_decode_kernel_ok"] = ok
     b.extra["entropy_decode_kernel_by_version"] = ent_dec_v
+
+    # steady-state pipelined throughput: 4 async dispatches forced through
+    # ONE checksum — how a serving loop drives the chip (per-call host
+    # sync is a benchmark artifact of this relay, not a codec property)
+    try:
+        import os as _os
+
+        vbest = int(_os.environ.get("STENOS_HUF_DECODE_V", "5"))
+
+        @partial(jax.jit, static_argnames=("v",))
+        def dec4(s, a, t, v=vbest):
+            # batch rolled per call: four DISTINCT computations (XLA would
+            # CSE four identical ones into a single kernel launch)
+            tot = jnp.zeros((), jnp.int32)
+            w = None
+            for i in range(4):
+                w = decode_streams_device(
+                    jnp.roll(s, i, axis=0), jnp.roll(a, i, axis=0),
+                    jnp.roll(t, i, axis=0), v=v)
+                tot = tot + jnp.sum(w.astype(jnp.int32))
+            return w, tot
+
+        int(dec4(s_d, a_d, t_d)[1])
+        t_p = min(_timed(lambda: int(dec4(s_d, a_d, t_d)[1]))
+                  for _ in range(REPS))
+        b.extra["entropy_decode_kernel_steady_gbps"] = round(
+            4 * len(border) * 131072 / t_p / 1e9, 3)
+    except Exception as e:
+        b.extra["entropy_decode_kernel_steady_gbps"] = \
+            f"error: {type(e).__name__}"[:80]
 
 
 def sec_sequences(b):

@@ -568,14 +568,19 @@ def make_decode_kernel_v5(R: int, G: int = 8):
             rc = jnp.clip(r, 0, 11)
             Wb = (lo & ((1 << rc) - 1)) << (11 - rc)
             W = jnp.where(r >= 11, Wn, Wb) & 0x7FF
+            # telescoped rank delta: the SAME compare mask drives the
+            # length count AND the dd accumulation (dd ends at D[ln-1]
+            # because the satisfied boundaries telescope D[10] down) —
+            # replaces the 11-select D chain (exact; ~10% kernel time)
             cnt = jnp.zeros((1, S), jnp.int32)
+            dd = jnp.full((1, S), D[10], jnp.int32)
             for l in range(11):
-                cnt = cnt + (W >= E[l]).astype(jnp.int32)
+                m = (W >= E[l]).astype(jnp.int32)
+                cnt = cnt + m
+                if l >= 1:
+                    dd = dd - m * (D[l] - D[l - 1])
             ln = 11 - cnt
             cand = W >> (11 - ln)
-            dd = jnp.zeros((1, S), jnp.int32)
-            for l in range(11):
-                dd = jnp.where(ln == l + 1, D[l], dd)
             return ln, cand + dd
 
         def pair(carry):

@@ -272,12 +272,8 @@ def encode_frame_device(data, interpret: bool = False,
     reps = None  # repeat-offset registers persist across blocks
     if nfull:
         full = data[: nfull * BLOCK_MAX].reshape(nfull, BLOCK_MAX)
-        hist = np.asarray(histogram_device(jnp.asarray(full), interpret))
         from .huffman import build_ctables_batch, code_lengths_batch
 
-        lens_all = code_lengths_batch(hist)
-        codes_all = build_ctables_batch(lens_all)
-        trees = tree_descs_batch(lens_all)
         # blocks with significant neighbor-equality runs route to the host
         # encoder, which can emit a sequences section (sequences.py); the
         # device kernel covers the (typical) literals-only bulk
@@ -352,28 +348,41 @@ def encode_frame_device(data, interpret: bool = False,
                     [1.0 - len(np.unique(fp[b])) / m for b in range(nfull)],
                     np.float32)
             runny = runny | (mfrac >= 1 / 8)
-        metas = []
-        for b in range(nfull):
-            if (runny[b] or int((lens_all[b] > 0).sum()) < 2
-                    or trees[b] is None):
-                metas.append(None)
-                continue
-            metas.append((codes_all[b], lens_all[b], trees[b]))
-        luts = np.zeros((nfull, 256), np.int32)
-        for b, m in enumerate(metas):
-            if m is not None:
-                codes, lens, _ = m
-                luts[b] = codes.astype(np.int32) | (lens.astype(np.int32)
-                                                    << 11)
-        streams = full.reshape(nfull * 4, BLOCK_MAX // 4)
-        slut = np.repeat(luts, 4, axis=0)
-        words, sizes, anchors = encode_streams_device(
-            jnp.asarray(streams), jnp.asarray(slut), interpret,
-            with_anchors=True)
-        words = np.ascontiguousarray(np.asarray(words))
-        sizes = np.asarray(sizes)
-        anchors = np.asarray(anchors)
-        wbytes = words.view("<u1").reshape(nfull * 4, -1)
+        # the device histogram + Huffman-stream kernels run ONLY on the
+        # non-runny subset, padded to a power of two (bounded compile
+        # count): an all-runny frame (e.g. the records family on the
+        # sequences path) dispatches NOTHING to the device — with a
+        # poisoned bus its H2D cost alone would dominate the encode
+        dev_idx = np.flatnonzero(~runny)
+        metas = [None] * nfull
+        sizes = anchors = wbytes = None
+        if len(dev_idx):
+            nbk = 1
+            while nbk < len(dev_idx):
+                nbk <<= 1
+            padb = np.zeros((nbk, BLOCK_MAX), np.uint8)
+            padb[: len(dev_idx)] = full[dev_idx]
+            hist = np.asarray(
+                histogram_device(jnp.asarray(padb), interpret))
+            lens_all = code_lengths_batch(hist)
+            codes_all = build_ctables_batch(lens_all)
+            trees = tree_descs_batch(lens_all)
+            luts = np.zeros((nbk, 256), np.int32)
+            for j, b in enumerate(dev_idx):
+                if int((lens_all[j] > 0).sum()) < 2 or trees[j] is None:
+                    continue
+                metas[b] = (j, lens_all[j], trees[j])
+                luts[j] = (codes_all[j].astype(np.int32)
+                           | (lens_all[j].astype(np.int32) << 11))
+            streams = padb.reshape(nbk * 4, BLOCK_MAX // 4)
+            slut = np.repeat(luts, 4, axis=0)
+            words, sizes, anchors = encode_streams_device(
+                jnp.asarray(streams), jnp.asarray(slut), interpret,
+                with_anchors=True)
+            words = np.ascontiguousarray(np.asarray(words))
+            sizes = np.asarray(sizes)
+            anchors = np.asarray(anchors)
+            wbytes = words.view("<u1").reshape(nbk * 4, -1)
         for b in range(nfull):
             chunk = full[b]
             last = (b == nfull - 1) and n == nfull * BLOCK_MAX
@@ -385,9 +394,9 @@ def encode_frame_device(data, interpret: bool = False,
                 sc_entries.append(_block_anchor_entry(blk)
                                   if sidecar and _seq_anchors_on() else None)
                 continue
-            _, _, tree = m
-            enc = [bytes(wbytes[4 * b + j][: sizes[4 * b + j]])
-                   for j in range(4)]
+            j, lens_b, tree = m
+            enc = [bytes(wbytes[4 * j + s][: sizes[4 * j + s]])
+                   for s in range(4)]
             if any(len(e) > 0xFFFF for e in enc[:3]):
                 blk, reps = encode_block(chunk, last, reps)
                 blocks.append(blk)
@@ -407,7 +416,7 @@ def encode_frame_device(data, interpret: bool = False,
             content = hdr.to_bytes(5, "little") + payload + b"\x00"
             bh = int(last) | (2 << 1) | (len(content) << 3)
             blocks.append(bh.to_bytes(3, "little") + content)
-            sc_entries.append((lens_all[b], anchors[4 * b : 4 * b + 4]))
+            sc_entries.append((lens_b, anchors[4 * j : 4 * j + 4]))
     if n > nfull * BLOCK_MAX:
         blk, reps = encode_block(data[nfull * BLOCK_MAX :], True, reps)
         blocks.append(blk)

@@ -35,9 +35,27 @@ def _zstd():
         lib.ZSTD_compressBound.restype = ctypes.c_size_t
         lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
         lib.ZSTD_maxCLevel.restype = ctypes.c_int
-        lib._cctx = lib.ZSTD_createCCtx()
         _lib = lib
     return _lib
+
+
+_tls = None
+
+
+def _cctx():
+    """Per-THREAD ZSTD_CCtx: a CCtx is not thread-safe, and the frame
+    layer fans superblocks out over a thread pool (frame.compress
+    threads>1) — a shared context segfaulted under that load."""
+    global _tls
+    import threading
+
+    if _tls is None:
+        _tls = threading.local()
+    ctx = getattr(_tls, "cctx", None)
+    if ctx is None:
+        ctx = _zstd().ZSTD_createCCtx()
+        _tls.cctx = ctx
+    return ctx
 
 
 def zstd_from_reduced_level(clevel: int) -> int:
@@ -61,7 +79,7 @@ def compress(data, capacity: int, stenos_level: int):
     cap = max(capacity, 0)
     dst = ctypes.create_string_buffer(cap if cap else 1)
     r = lib.ZSTD_compressCCtx(
-        lib._cctx, dst, cap, data, len(data),
+        _cctx(), dst, cap, data, len(data),
         zstd_from_reduced_level(stenos_level),
     )
     if lib.ZSTD_isError(r):

@@ -23,8 +23,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .sharding import (encode_slabs_sharded, encode_superblocks_sharded,
-from ..utils.demote import warn_once
                        make_mesh)
+from ..utils.demote import warn_once
 
 
 def _sharded_encode_gather(mesh: Mesh, data, bpp: int, block_level: int,

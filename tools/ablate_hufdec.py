@@ -530,6 +530,8 @@ def make_v2seq(R, G=8, abl="", out_u8=True):
         wsub = _iota((96, S), 0)
 
         def fetch(widx):
+            if "nofetch" in abl:
+                return w32[0:1]
             return jnp.sum(jnp.where(wsub == widx, w32, 0), axis=0,
                            keepdims=True)
 
@@ -546,6 +548,8 @@ def make_v2seq(R, G=8, abl="", out_u8=True):
             D.append(off_l - base_l)
 
         def one(r, pb, lo, hi):
+            if "cheapone" in abl:
+                return jnp.full((1, S), 6, jnp.int32), (lo + r) & 255
             s = r - 11 - (pb << 5)
             sc = jnp.clip(s, 0, 53)
             Wn = jnp.where(
@@ -555,6 +559,21 @@ def make_v2seq(R, G=8, abl="", out_u8=True):
             rc = jnp.clip(r, 0, 11)
             Wb = (lo & ((1 << rc) - 1)) << (11 - rc)
             W = jnp.where(r >= 11, Wn, Wb) & 0x7FF
+            if "ddtel" in abl:
+                # telescoped: the SAME compare mask drives both the length
+                # count and the rank delta (dd = D[11] - sum of dD over
+                # satisfied boundaries) — the 11-select D chain vanishes
+                cnt = jnp.zeros((1, S), jnp.int32)
+                dd = jnp.full((1, S), D[10], jnp.int32)
+                for l in range(11):
+                    m = (W >= E[l]).astype(jnp.int32)
+                    cnt = cnt + m
+                    if l >= 1:
+                        dD = D[l] - D[l - 1]  # scalar (sreg)
+                        dd = dd - m * dD
+                ln = 11 - cnt
+                cand = W >> (11 - ln)
+                return ln, cand + dd
             cnt = jnp.zeros((1, S), jnp.int32)
             for l in range(11):
                 cnt = cnt + (W >= E[l]).astype(jnp.int32)
