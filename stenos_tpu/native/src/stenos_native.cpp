@@ -2529,6 +2529,23 @@ inline uint32_t fp4_at(const uint8_t* d, size_t p) {
     return v;  // little-endian host; value identity only matters
 }
 
+// u64-chunked match extension: a[l] == b[l] while l < limit (the classic
+// LZ extension; byte-identical result, ~8x the byte loop on long matches)
+static inline int64_t ext_u64(const uint8_t* a, const uint8_t* b,
+                              int64_t limit) {
+    int64_t l = 0;
+    while (l + 8 <= limit) {
+        uint64_t x, y;
+        std::memcpy(&x, a + l, 8);
+        std::memcpy(&y, b + l, 8);
+        const uint64_t d = x ^ y;
+        if (d) return l + (int64_t)(__builtin_ctzll(d) >> 3);
+        l += 8;
+    }
+    while (l < limit && a[l] == b[l]) ++l;
+    return l;
+}
+
 // Greedy cursor walk shared by both candidate sources. Provider semantics:
 // fill (dist, base_len) for position p, return true when p opens a match.
 // Rep-aware (twin of match_device._parse_py): after the greedy/lazy pick,
@@ -2553,8 +2570,10 @@ inline ParseOut greedy_walk(const uint8_t* data, size_t n, Provider&& cand,
     auto extend = [&](size_t p, int64_t d, int64_t base) {
         int64_t l = base;
         if ((int64_t)(n - p) < l) l = n - p;
-        while (p + l < n && data[p + l] == data[p + l - d] && l < ml_cap)
-            ++l;
+        int64_t limit = (int64_t)(n - p);
+        if (limit > ml_cap) limit = ml_cap;
+        if (l < limit)
+            l += ext_u64(data + p + l, data + p + l - d, limit - l);
         return l;
     };
     size_t p = 0;
@@ -2574,10 +2593,9 @@ inline ParseOut greedy_walk(const uint8_t* data, size_t n, Provider&& cand,
         for (int k = 0; k < 3; ++k) {
             const int64_t rr = reps[k];
             if (rr <= 0 || rr > (int64_t)p) continue;
-            int64_t rl = 0;
-            while (p + rl < n && data[p + rl] == data[p + rl - rr]
-                   && rl < ml_cap)
-                ++rl;
+            int64_t limit = (int64_t)(n - p);
+            if (limit > ml_cap) limit = ml_cap;
+            const int64_t rl = ext_u64(data + p, data + p - rr, limit);
             if (rl > best_rl) { best_rl = rl; best_rep = rr; }
         }
         if (best_rl >= REP_MIN && best_rl + REP_GAIN >= l) {
