@@ -109,11 +109,19 @@ def main():
     fdev, flen = compress_device_sharded(
         raw.reshape(4, 131072), 4, 1, make_mesh(1))
     fbytes = np.asarray(fdev)[: int(flen)].tobytes()
-    if oracle.decompress(fbytes, 4, len(raw)) != raw.tobytes():
+    # sharded frames are EXACT superblock multiples by construction, which
+    # the reference decoder rejects outright (stenos.cpp:1131 known bug,
+    # NOTES.md) — so pin byte-identity to the host frame (itself tied to
+    # the reference by the parity grid) and decode with our decoder
+    ref_frame = fr.compress(raw, 4, 1, engine=None)
+    ok = fbytes == ref_frame and \
+        fr.decompress(fbytes, 4).tobytes() == raw.tobytes()
+    if not ok:
         fails += 1
-        print("FAIL: sharded+assembled frame not decodable by reference")
+        print("FAIL: sharded+assembled frame != host frame or undecodable")
     else:
-        print("sharded frame assembler ok")
+        print("sharded frame assembler ok (host-identical; reference "
+              "rejects exact-multiple inputs by its own bug)")
 
     # device entropy -> reference decodes it
     noisy = np.cumsum(rng.normal(0, 300, 500_000)).astype("<i4").view(np.uint8)
