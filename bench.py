@@ -415,9 +415,9 @@ def sec_sequences(b):
     md[b.rng.integers(0, sbytes, sbytes // 64)] = b.rng.integers(
         0, 256, sbytes // 64)
     _efd(md[: 4 * 131072], sidecar=False)  # warm compiles
-    t0 = time.perf_counter()
-    fseq = _efd(md, sidecar=False)
-    t_s = time.perf_counter() - t0
+    fseq = _efd(md, sidecar=False)  # warm allocators/page cache
+    t_s = min(_timed(lambda: _efd(md, sidecar=False))
+              for _ in range(max(REPS - 1, 1)))
     b.extra["sequences_encode_mbps"] = round(sbytes / t_s / 1e6, 1)
     back = zstandard.ZstdDecompressor().decompress(
         fseq, max_output_size=sbytes + 16)

@@ -2494,14 +2494,15 @@ struct ParseOut {
 // exact nearest-previous-equal-fp4 map (twin of match.find_matches: the
 // stable fingerprint sort's predecessor IS the last earlier occurrence)
 struct Fp4Map {
-    std::vector<uint32_t> key;
-    std::vector<int32_t> pos;
+    // one packed u64 per slot (key<<32 | pos+1; 0 = empty): half the
+    // random-access cache lines of split key/pos arrays — the map walk is
+    // the encode hot path
+    std::vector<uint64_t> ent;
     uint32_t mask;
     explicit Fp4Map(size_t n) {
         size_t sz = 16;
         while (sz < 2 * n) sz <<= 1;
-        key.assign(sz, 0);
-        pos.assign(sz, -1);
+        ent.assign(sz, 0);
         mask = (uint32_t)(sz - 1);
     }
     static inline uint32_t slot0(uint32_t fp) {
@@ -2509,14 +2510,14 @@ struct Fp4Map {
     }
     inline void put(uint32_t fp, int32_t p) {
         uint32_t s = slot0(fp) & mask;
-        while (pos[s] >= 0 && key[s] != fp) s = (s + 1) & mask;
-        key[s] = fp;
-        pos[s] = p;
+        while (ent[s] && (uint32_t)(ent[s] >> 32) != fp) s = (s + 1) & mask;
+        ent[s] = ((uint64_t)fp << 32) | (uint32_t)(p + 1);
     }
     inline int32_t get(uint32_t fp) const {
         uint32_t s = slot0(fp) & mask;
-        while (pos[s] >= 0) {
-            if (key[s] == fp) return pos[s];
+        while (ent[s]) {
+            if ((uint32_t)(ent[s] >> 32) == fp)
+                return (int32_t)(uint32_t)ent[s] - 1;
             s = (s + 1) & mask;
         }
         return -1;
@@ -2809,10 +2810,39 @@ EXPORT ptrdiff_t stn_encode_block(const uint8_t* data, size_t n,
             c.reps_out[2] = reps[2];
         }
     }
+    // run_parse can only accept when total run bytes >= max(64, n/64)
+    // and every counted run needs >= 7 equal-neighbor flags per 8 bytes:
+    // eq_neighbors < 7/8 * threshold proves rejection, so a cheap u64 scan
+    // (~0.2 ns/B) skips run_parse's full pass on run-free blocks.
+    // Provably output-identical (skip <=> run_parse would reject), so the
+    // python twin needs no counterpart.
+    bool maybe_runs = true;
+    {
+        const int64_t gain_min = n / 64 > 64 ? (int64_t)(n / 64) : 64;
+        const int64_t need_eq = gain_min - gain_min / 8;
+        int64_t eq = 0;
+        size_t i = 0;
+        for (; i + 9 <= n; i += 8) {
+            uint64_t a, b;
+            std::memcpy(&a, data + i, 8);
+            std::memcpy(&b, data + i + 1, 8);
+            const uint64_t d = a ^ b;
+            // count zero BYTES of d (equal neighbor pairs)
+            const uint64_t m =
+                (((d | ((d | 0x8080808080808080ull) - 0x0101010101010101ull))
+                  & 0x8080808080808080ull) >> 7);
+            eq += 8 - (int64_t)__builtin_popcountll(m);
+            if (eq >= need_eq) break;
+        }
+        if (eq < need_eq)
+            for (; i + 1 < n && eq < need_eq; ++i)
+                eq += data[i] == data[i + 1];
+        maybe_runs = eq >= need_eq;
+    }
     // candidates 1, 2: run sequences, then greedy matches
     for (int finder = 0; finder < 2; ++finder) {
         Cand& c = cands[1 + finder];
-        c.r = finder == 0 ? run_parse(data, n)
+        c.r = finder == 0 ? (maybe_runs ? run_parse(data, n) : ParseOut{})
                           : (use_cand ? cand_parse(data, n, cand, reps)
                                       : hash_parse(data, n, reps));
         if (!c.r.ok) continue;
