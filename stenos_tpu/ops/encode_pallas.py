@@ -187,7 +187,7 @@ def _sub_cumsum(v, n):
 
 def make_encode_kernel(bpp: int, nb: int, block_level: int,
                        mode: str = "xposed", with_index: bool = False,
-                       nb_real: int | None = None):
+                       nb_real: int | None = None, Gb: int = 1):
     """Kernel body (closure over static config).
 
     nb_real: when set (< nb), lanes [nb_real, nb) are zero-filled dummy
@@ -227,13 +227,11 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
         xpm = x_nat.reshape(256, bpp, n).transpose(1, 0, 2)
         return xpm.reshape(S, n)
 
-    def kernel(t_ref, out_ref, bsz_ref, fsz_ref, *extra):
-        idx_refs = extra[:-1] if with_index else ()
-        sp_ref = extra[-1]
+    def _one(g, t_ref, out_ref, bsz_ref, fsz_ref, idx_refs, sp_ref):
         if mode == "words":
-            X = build_X_from_words(t_ref[0])  # (S, nb)
+            X = build_X_from_words(t_ref[g])  # (S, nb)
         else:
-            X = t_ref[0].astype(jnp.int32)  # (S, nb)
+            X = t_ref[g].astype(jnp.int32)  # (S, nb)
         si = _iota((S, nb), 0)
         prev = pltpu.roll(X, 1, axis=0)
         prev = jnp.where(si % 256 == 0, 0, prev)
@@ -396,7 +394,7 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
             bsize_i = hdr_w + jnp.sum(plane_len_i, axis=0)
             pl_excl = _sub_cumsum(plane_len_i, bpp) - plane_len_i
             b_excl = _lane_cumsum(bsize_i[None, :], nb) - bsize_i[None, :]
-            po_ref[0] = (4 + b_excl + hdr_w + pl_excl) | (codes << 24)
+            po_ref[g] = (4 + b_excl + hdr_w + pl_excl) | (codes << 24)
 
         # ---- S' assembly: value | valid<<8 at static offsets ------------
         def packv(vals, lens):
@@ -441,8 +439,8 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
         # ---- per-block sizes (host LZ-patch / abort checks) -------------
         plane_len = lenA + lenB + _sum_mid(lenR.reshape(bpp, 16, nb))
         bsize = hdr_w + jnp.sum(plane_len, axis=0)
-        bsz_ref[0, 0, :] = bsize
-        fsz_ref[0, 0, :] = jnp.sum(psizes, axis=0)
+        bsz_ref[g, 0, :] = bsize
+        fsz_ref[g, 0, :] = jnp.sum(psizes, axis=0)
 
 
         # ---- transpose + flat compaction ---------------------------------
@@ -467,7 +465,17 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
             stay = (w != 0) & ((((w >> 8) >> k) & 1) == 0)
             w = jnp.where(arrive, moved - (step << 8),
                           jnp.where(stay, w, 0))
-        out_ref[0] = (w & 255).astype(jnp.uint8)
+        out_ref[g] = (w & 255).astype(jnp.uint8)
+
+    def kernel(t_ref, out_ref, bsz_ref, fsz_ref, *extra):
+        # Gb superblocks per grid step, each in the proven per-superblock
+        # 2D shapes (python-unrolled — the v5 decode-kernel lesson: batch
+        # by looping bodies, never by widening state shapes); amortizes
+        # the ~5 us/grid-step floor and the small-block DMA latency
+        idx_refs = extra[:-1] if with_index else ()
+        sp_ref = extra[-1]
+        for g in range(Gb):
+            _one(g, t_ref, out_ref, bsz_ref, fsz_ref, idx_refs, sp_ref)
 
     return kernel, V
 
@@ -475,21 +483,22 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
 @lru_cache(maxsize=64)
 def _build_call(n_sb: int, bpp: int, nb: int, block_level: int,
                 interpret: bool, mode: str = "xposed",
-                with_index: bool = False, nb_real: int | None = None):
+                with_index: bool = False, nb_real: int | None = None,
+                Gb: int = 1):
     kernel, V = make_encode_kernel(bpp, nb, block_level, mode, with_index,
-                                   nb_real)
+                                   nb_real, Gb)
     if mode == "words":
-        in_spec = pl.BlockSpec((1, nb, 64 * bpp), lambda i: (i, 0, 0),
+        in_spec = pl.BlockSpec((Gb, nb, 64 * bpp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
     else:
-        in_spec = pl.BlockSpec((1, bpp * 256, nb), lambda i: (i, 0, 0),
+        in_spec = pl.BlockSpec((Gb, bpp * 256, nb), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
     out_specs = [
-        pl.BlockSpec((1, nb, V), lambda i: (i, 0, 0),
+        pl.BlockSpec((Gb, nb, V), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0),
+        pl.BlockSpec((Gb, 1, nb), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, nb), lambda i: (i, 0, 0),
+        pl.BlockSpec((Gb, 1, nb), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
@@ -499,7 +508,7 @@ def _build_call(n_sb: int, bpp: int, nb: int, block_level: int,
     ]
     if with_index:
         out_specs += [
-            pl.BlockSpec((1, bpp, nb), lambda i: (i, 0, 0),
+            pl.BlockSpec((Gb, bpp, nb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         out_shape += [
@@ -513,7 +522,7 @@ def _build_call(n_sb: int, bpp: int, nb: int, block_level: int,
             vmem_limit_bytes=96 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
-        grid=(n_sb,),
+        grid=(n_sb // Gb,),
         in_specs=[in_spec],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
@@ -521,6 +530,22 @@ def _build_call(n_sb: int, bpp: int, nb: int, block_level: int,
         interpret=interpret,
         **params,
     ), V
+
+
+def _enc_g(n_sb: int) -> int:
+    """Superblocks per encode grid step: STENOS_ENC_G (default 1; 'auto'
+    = 4 when it divides the batch). TPU-measured round 4: G=1/4/8 are
+    within noise at 512 MB (3.03/2.99/3.04 GB/s) — the encode grid's
+    per-step DMA already pipelines, unlike the decode kernel's tiny
+    anchor/table blocks — so the default stays 1; the knob remains for
+    other generations."""
+    import os
+
+    v = os.environ.get("STENOS_ENC_G", "1")
+    g = 4 if v == "auto" else max(1, int(v))
+    while n_sb % g:
+        g >>= 1
+    return max(g, 1)
 
 
 def _nb_pad(nb: int) -> int | None:
@@ -569,7 +594,7 @@ def encode_slabs_body(data, bpp: int, block_level: int,
     words = jax.lax.bitcast_convert_type(
         data.reshape(n_sb, nb, 64 * bpp, 4), jnp.int32)
     call, V = _build_call(n_sb, bpp, nb, block_level, interpret, "words",
-                          False, nb_real)
+                          False, nb_real, _enc_g(n_sb))
     out, bsizes, fsizes = call(words)
     bsizes = bsizes[:, 0, :]
     fsizes = fsizes[:, 0, :]
@@ -608,7 +633,7 @@ def encode_slabs_index_body(data, bpp: int, block_level: int,
     words = jax.lax.bitcast_convert_type(
         data.reshape(n_sb, nb, 64 * bpp, 4), jnp.int32)
     call, V = _build_call(n_sb, bpp, nb, block_level, interpret, "words",
-                          True, nb_real)
+                          True, nb_real, _enc_g(n_sb))
     out, bsizes, fsizes, po_raw = call(words)
     bsizes = bsizes[:, 0, :]
     fsizes = fsizes[:, 0, :]
