@@ -45,12 +45,14 @@ class TimeConstraint:
         self.total_bytes = 0
         self.processed_bytes = 0
         self.finish_memcpy = False
+        self.unsatisfiable = False  # budget below the measured warm floor
         self._t0 = 0.0
 
     def start(self, total_bytes: int):
         self.total_bytes = total_bytes
         self.processed_bytes = 0
         self.finish_memcpy = False
+        self.unsatisfiable = False
         self._t0 = time.perf_counter_ns()
 
     def elapsed(self) -> int:
@@ -61,6 +63,26 @@ class TimeConstraint:
         if remaining <= 0:
             return float("inf")
         return (self.total_bytes - self.processed_bytes) / remaining
+
+
+# Measured warm floor (ns) of one end-to-end timed call per backend kind
+# ("engine" = device rounds, "host" = per-superblock loop). The floor on
+# the TPU relay is ~360 ms (dispatch quantum x warmup rounds,
+# VALIDATE_r04 §7); on the CPU mesh ~5 ms. A budget below it cannot be
+# met — the reference's <=1 ms overshoot claim (stenos.h:152-154) has no
+# dispatch quantum. frame.compress_generic records every timed call here
+# and warns once when a requested budget is below the floor.
+_timed_floor_ns: dict = {}
+
+
+def timed_floor_ns(kind: str):
+    return _timed_floor_ns.get(kind)
+
+
+def record_timed_call(kind: str, elapsed_ns: int):
+    prev = _timed_floor_ns.get(kind)
+    if prev is None or elapsed_ns < prev:
+        _timed_floor_ns[kind] = elapsed_ns
 
 
 def clevel_for_remaining(t: TimeConstraint, processed: int,
