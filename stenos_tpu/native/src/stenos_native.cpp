@@ -2105,6 +2105,170 @@ EXPORT ptrdiff_t stn_seq_ops(size_t nseq, const int32_t* ll,
     return (ptrdiff_t)nops;
 }
 
+// Header/table prep for the DEVICE FSE sequence decoder
+// (entropy/seqdec_pallas.py): parse the nseq header + channel modes and
+// build the three decode tables — the same machinery stn_zstd_seqs uses,
+// Repeat_Mode ctx persistence included — WITHOUT touching the bitstream
+// (the per-sequence state walk runs on the TPU; the host stays
+// O(table size) per block, not O(nseq)).
+//   out_tab:  (3*512,) int32 per-state entries sym | nb<<8 | base<<16,
+//             channel rows ch*512 + state, channel order LL, OF, ML.
+//             RLE channels: one row 0 entry (rle_sym, nb 0, base 0).
+//   out_meta: (8,) int32 [nseq, bitstream byte offset in sec, bp0 (initial
+//             bit cursor), tl_ll, tl_of, tl_ml, 0, 0]
+// Returns nseq (>= 0) or a negative error.
+EXPORT ptrdiff_t stn_zstd_dtables(const uint8_t* sec, size_t n,
+                                  uint8_t* ctx_blob, int32_t* out_tab,
+                                  int32_t* out_meta) {
+    ZstdDecCtx* ctx = (ZstdDecCtx*)ctx_blob;
+    if (n < 1) return ERR_SRC;
+    size_t p = 0;
+    uint32_t nseq;
+    const uint8_t b0 = sec[p++];
+    if (b0 < 128) {
+        nseq = b0;
+    } else if (b0 < 255) {
+        if (p >= n) return ERR_SRC;
+        nseq = ((uint32_t)(b0 - 128) << 8) + sec[p++];
+    } else {
+        if (p + 2 > n) return ERR_SRC;
+        nseq = sec[p] + ((uint32_t)sec[p + 1] << 8) + 0x7F00;
+        p += 2;
+    }
+    for (int i = 0; i < 8; ++i) out_meta[i] = 0;
+    if (nseq == 0) return 0;
+    if (p >= n) return ERR_INPUT;
+    const uint8_t modes = sec[p++];
+    if (modes & 3) return ERR_INPUT;
+    size_t used;
+    if (ctx->ll.build((modes >> 6) & 3, kLLDefault, 35, 6, 9, sec + p,
+                      n - p, &used))
+        return ERR_INPUT;
+    p += used;
+    if (ctx->of.build((modes >> 4) & 3, kOFDefault, 28, 5, 8, sec + p,
+                      n - p, &used))
+        return ERR_INPUT;
+    p += used;
+    if (ctx->ml.build((modes >> 2) & 3, kMLDefault, 52, 6, 9, sec + p,
+                      n - p, &used))
+        return ERR_INPUT;
+    p += used;
+    if (p >= n || sec[n - 1] == 0) return ERR_SRC;
+    const SeqChannel* chans[3] = {&ctx->ll, &ctx->of, &ctx->ml};
+    for (int ch = 0; ch < 3; ++ch) {
+        int32_t* t = out_tab + ch * 512;
+        for (int s = 0; s < 512; ++s) t[s] = 0;
+        const SeqChannel& c = *chans[ch];
+        if (c.rle) {
+            t[0] = (int32_t)c.rle_sym;
+        } else {
+            const int size = 1 << c.table_log;
+            for (int s = 0; s < size; ++s)
+                t[s] = (int32_t)c.table[s].sym
+                       | ((int32_t)c.table[s].nb << 8)
+                       | ((int32_t)c.table[s].base << 16);
+        }
+    }
+    out_meta[0] = (int32_t)nseq;
+    out_meta[1] = (int32_t)p;
+    out_meta[2] = (int32_t)((n - p - 1) * 8 + highbit_u32(sec[n - 1]));
+    out_meta[3] = ctx->ll.table_log;
+    out_meta[4] = ctx->of.table_log;
+    out_meta[5] = ctx->ml.table_log;
+    return (ptrdiff_t)nseq;
+}
+
+// Repcode resolution + W-chunked program build, fused: consumes the
+// device FSE kernel's RAW (ll, ml, offset_value) triples, resolves the
+// repeat offsets exactly like stn_zstd_seqs (RFC 8878 §3.1.1.3.2.1.1,
+// reps updated in place), and emits the same op stream as stn_seq_ops.
+// off_out (nullable): resolved offsets for twin checks. Returns the op
+// count or a negative error.
+EXPORT ptrdiff_t stn_seq_resolve_ops(size_t nseq, const int32_t* ll,
+                                     const int32_t* ml, const int32_t* ofv,
+                                     int64_t* reps, int64_t dst_base,
+                                     int64_t lit_base, int64_t trailing,
+                                     int64_t out_limit, int32_t W,
+                                     int32_t* ops, size_t cap,
+                                     int64_t* off_out) {
+    size_t nops = 0;
+    int64_t pos = dst_base;
+    int64_t lit = lit_base;
+    auto emit = [&](int64_t dst, int64_t src, int32_t flag) -> bool {
+        if (nops + 1 > cap) return false;
+        ops[3 * nops] = (int32_t)dst;
+        ops[3 * nops + 1] = (int32_t)src;
+        ops[3 * nops + 2] = flag;
+        ++nops;
+        return true;
+    };
+    auto emit_lit = [&](int64_t len) -> bool {
+        for (int64_t c = 0; c < len; c += W)
+            if (!emit(pos + c, lit + c, 1)) return false;
+        pos += len;
+        lit += len;
+        return true;
+    };
+    for (size_t i = 0; i < nseq; ++i) {
+        const int64_t off_val = (int64_t)(uint32_t)ofv[i];
+        int64_t off;
+        if (off_val > 3) {
+            off = off_val - 3;
+            reps[2] = reps[1];
+            reps[1] = reps[0];
+            reps[0] = off;
+        } else {
+            const int idx = (int)off_val - 1 + (ll[i] == 0 ? 1 : 0);
+            if (idx == 0) {
+                off = reps[0];
+            } else if (idx == 1) {
+                off = reps[1];
+                reps[1] = reps[0];
+                reps[0] = off;
+            } else if (idx == 2) {
+                off = reps[2];
+                reps[2] = reps[1];
+                reps[1] = reps[0];
+                reps[0] = off;
+            } else {
+                off = reps[0] - 1;
+                if (off <= 0) return ERR_INPUT;
+                reps[2] = reps[1];
+                reps[1] = reps[0];
+                reps[0] = off;
+            }
+        }
+        if (off <= 0) return ERR_INPUT;
+        if (off_out) off_out[i] = off;
+        if (!emit_lit(ll[i])) return ERR_DST;
+        const int64_t o = off;
+        const int64_t m = ml[i];
+        if (o > pos - 0 || pos + m > out_limit) return ERR_INPUT;
+        if (o >= W) {
+            for (int64_t c = 0; c < m; c += W)
+                if (!emit(pos + c, pos + c - o, 0)) return ERR_DST;
+        } else {
+            int64_t c = 0;
+            int64_t step = o;
+            while (c < m) {
+                if (!emit(pos + c, pos + c - step, 0)) return ERR_DST;
+                c += step < m - c ? step : m - c;
+                if (step < W) {
+                    int64_t k = W / o;
+                    const int64_t k2 = (c + o) / o;
+                    if (k2 < k) k = k2;
+                    if (k < 1) k = 1;
+                    step = k * o;
+                }
+            }
+        }
+        pos += m;
+    }
+    if (!emit_lit(trailing)) return ERR_DST;
+    if (pos > out_limit) return ERR_INPUT;
+    return (ptrdiff_t)nops;
+}
+
 // ===================================================================
 // zstd block ENCODER fast path (clean-room, RFC 8878) — the C++ twin of
 // entropy/zstd_frame.encode_block + entropy/match.py + entropy/sequences.py

@@ -27,8 +27,12 @@ from .sharding import (encode_slabs_sharded, encode_superblocks_sharded,
 from ..utils.demote import warn_once
 
 
-def _sharded_encode_gather(mesh: Mesh, data, bpp: int, block_level: int,
-                           axis: str, interpret: bool):
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _sharded_encode_gather_fn(mesh: Mesh, bpp: int, block_level: int,
+                              axis: str, interpret: bool):
     from ..ops.encode_pallas import encode_slabs_body
 
     def step(chunk):
@@ -39,25 +43,71 @@ def _sharded_encode_gather(mesh: Mesh, data, bpp: int, block_level: int,
         rows_g = jax.lax.all_gather(rows, axis, tiled=True)
         return rows_g, sizes, offs.astype(jnp.int32)
 
-    f = jax.shard_map(
+    return jax.jit(jax.shard_map(
         step, mesh=mesh, in_specs=P(axis), out_specs=(P(), P(), P()),
         check_vma=False,
-    )
+    ))
+
+
+def _sharded_encode_gather(mesh: Mesh, data, bpp: int, block_level: int,
+                           axis: str, interpret: bool):
     sharding = NamedSharding(mesh, P(axis))
     data = jax.device_put(data, sharding)
-    return jax.jit(f)(data)
+    return _sharded_encode_gather_fn(mesh, bpp, block_level, axis,
+                                     interpret)(data)
 
 
 def compress_device_sharded(data, bpp: int, level: int = 1,
                             mesh: Mesh | None = None, axis: str = "chunks",
-                            interpret: bool = False):
-    """Sharded device-resident frame compression.
+                            interpret: bool = False, kernel: str = "pallas"):
+    """Sharded device-resident frame compression — the ragged pipeline.
 
     data: (n_sb, sb) uint8 with n_sb a multiple of the mesh size (sb | the
-    chosen superblock size). Returns (frame uint8 HBM array, frame_len) —
-    same contract as engine_jax.compress_frame_device_jit, which this
-    matches byte-for-byte (same kernel, same assembler).
+    chosen superblock size). Returns (frame, frame_len): frame is a
+    (nd*S,) uint8 array SHARDED over the mesh (chip t holds bytes
+    [t*S, (t+1)*S)); np.asarray(frame)[:frame_len] is byte-identical to
+    engine_jax.compress_frame_device_jit's single-chip frame.
+
+    Pipeline (SURVEY §2.7): phase-1 shard_map encodes each chip's
+    superblocks and packs them into a contiguous local segment (parallel
+    frame assembly — the reference's memcpy round, stenos.cpp:992-1004);
+    only the nd segment lengths ride a collective. The host turns them
+    into global offsets (the prefix-sum replacing stenos.cpp:977-990's
+    serial walk) and a bucketed shard width sized from the MEASURED
+    compressed bytes; phase-2 reduce_scatters the placed segments so
+    per-chip ICI traffic is ~(nd-1)/nd of the compressed frame, not of
+    the padded rows.
     """
+    from ..engine_jax import _bucket125, frame_header_bytes
+    from .sharding import assemble_frame_sharded, encode_segments_sharded
+
+    n_sb, sb = data.shape
+    mesh = mesh if mesh is not None else make_mesh()
+    nd = mesh.devices.size
+    if n_sb % nd:
+        raise ValueError(f"n_sb={n_sb} not a multiple of mesh size {nd}")
+    segs, seg_lens = encode_segments_sharded(
+        mesh, data, bpp, 2 if level else 0, axis, interpret, kernel)
+    seg_lens = np.asarray(seg_lens, np.int64)  # nd scalars D2H
+    nbytes = n_sb * sb
+    hdr = frame_header_bytes(nbytes, sb, bpp, level)
+    base = len(hdr)
+    offs = base + np.cumsum(seg_lens) - seg_lens
+    total = base + int(seg_lens.sum())
+    C_loc = segs.shape[1]
+    # S: every segment must fit at its offset without DUS clamping
+    S = _bucket125(-(-(total + C_loc) // nd))
+    frame = assemble_frame_sharded(mesh, segs, offs, hdr, S, axis)
+    return frame, total
+
+
+def compress_device_sharded_gathered(data, bpp: int, level: int = 1,
+                                     mesh: Mesh | None = None,
+                                     axis: str = "chunks",
+                                     interpret: bool = False):
+    """The round-4 gathered variant (all_gather of padded rows + one-device
+    assembly): kept as the traffic A/B baseline for benchs/bench_scaling.py
+    and as a fallback shape. Same byte output as the ragged path."""
     from ..engine_jax import _frame_assemble, frame_header_bytes
 
     n_sb, sb = data.shape

@@ -66,6 +66,43 @@ def test_graft_dryrun():
 
 
 @needs_mesh
+@pytest.mark.parametrize("kernel", ["pallas", "xla"])
+def test_ragged_sharded_frame_matches_single(rng, kernel):
+    """The ragged pipeline (local segment assembly + reduce_scatter of
+    frame shards) produces a frame byte-identical to the single-chip device
+    path, stays SHARDED over the mesh, and its collective traffic model is
+    proportional to the compressed (not padded) bytes."""
+    from stenos_tpu.parallel import (compress_device_sharded, make_mesh,
+                                     ragged_traffic_model)
+    from stenos_tpu.engine_jax import compress_frame_device_jit
+
+    bpp = 4
+    sb = 256 * bpp * 2
+    n_sb = 16
+    data = gen_elements(rng, bpp, (n_sb * sb) // bpp, "sorted")
+    batch = np.frombuffer(data, np.uint8).reshape(n_sb, sb)
+    mesh = make_mesh(8)
+    f_r, l_r = compress_device_sharded(batch, bpp, 1, mesh, interpret=True,
+                                       kernel=kernel)
+    # output is sharded over the mesh, not replicated
+    from jax.sharding import PartitionSpec
+
+    assert f_r.sharding.spec == PartitionSpec("chunks")
+    f_1, l_1 = compress_frame_device_jit(batch, bpp, 1)
+    assert int(l_r) == int(l_1)
+    assert (np.asarray(f_r)[: int(l_r)]
+            == np.asarray(f_1)[: int(l_1)]).all()
+    # frame decodes through the standard layer
+    back = st.decompress(np.asarray(f_r)[: int(l_r)].tobytes(), bpp)
+    assert back.tobytes() == data
+    # traffic: ragged moves ~compressed bytes per chip, gathered ~padded
+    m = ragged_traffic_model(n_sb=n_sb, w=sb + 512, nd=8,
+                             S=(int(l_r) + sb) // 8 + 512,
+                             C_loc=2 * (sb + 512))
+    assert m["ragged_per_chip_bytes"] < m["gathered_per_chip_bytes"]
+
+
+@needs_mesh
 def test_sharded_pallas_encode_matches_single(rng):
     """The Pallas mega-kernel under shard_map (interpret mode on the CPU
     mesh) produces the same records as the XLA pipeline."""
