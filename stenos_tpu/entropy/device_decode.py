@@ -172,6 +172,62 @@ def _patch_from_rows(buf, rows, pspecs):
     return fn(buf, rows)
 
 
+def _decode_seqs_raw_batch(payload, blocks, interpret):
+    """Device FSE sequence decode (entropy/seqdec_pallas.py) of every
+    sequence-bearing block in ONE batched dispatch: the host does O(table)
+    prep per block (stn_zstd_dtables, Repeat_Mode chained in order) and
+    the per-sequence bit walk runs on the TPU; blocks beyond the device
+    buckets take the host RAW walk in the same chain. Returns
+    {block_index: (ll, ml, off_value)} or None (route the whole payload
+    through the host walk instead).
+
+    Routing: STENOS_DEVICE_SEQS = 1 force device, 0 force host,
+    auto/unset = device when the D2H bus is healthy (utils.bus) — raw
+    triples come back to the host for the O(nseq) program pass."""
+    import os
+
+    from ..native import lib
+    from ..utils import bus
+    from .seqdec_pallas import decode_sections_device, prep_section
+
+    route = os.environ.get("STENOS_DEVICE_SEQS", "auto")
+    if route in ("0", "false") or lib is None:
+        return None
+    if route != "1" and not interpret and bus.d2h_gbps() < 0.5:
+        return None
+    ctx_fse = lib.zstd_ctx()
+    preps, order, raw = [], [], {}
+    for bi, spec in enumerate(blocks):
+        if spec.btype != 2:
+            continue
+        if spec.seq_len == 1 and payload[spec.seq_off] == 0:
+            continue
+        sec = payload[spec.seq_off : spec.seq_off + spec.seq_len]
+        p = prep_section(sec, ctx_fse)
+        if isinstance(p, int):
+            if p != -1000:
+                return None  # corrupt section: host ladder decides
+            r = lib.zstd_seqs_raw(sec, ctx_fse)
+            if isinstance(r, int):
+                return None
+            raw[bi] = r
+            p = None
+        elif p is None:
+            return None  # nseq == 0 under a multi-byte section: host
+        preps.append(p)
+        order.append(bi)
+    if not order:
+        return raw
+    got = decode_sections_device(preps, interpret)
+    for p_i, bi in enumerate(order):
+        if preps[p_i] is None:
+            continue  # host raw already in raw[bi]
+        if got[p_i] is None:
+            return None  # kernel flagged an error: host walk everything
+        raw[bi] = got[p_i]
+    return raw
+
+
 def _decode_sequences_device(payload, dsize, blocks, interpret,
                              entries=None):
     """Tier 2: host index work, device match reconstruction; in MIXED
@@ -202,7 +258,10 @@ def _decode_sequences_device(payload, dsize, blocks, interpret,
     pv = np.frombuffer(payload, np.uint8)
     row = BLOCK_MAX + W
 
-    # ---- host pass: literals + O(nseq) sequence decode per block ----
+    # ---- device pass: FSE sequence walks on the TPU (batched) ----
+    seq_raw = _decode_seqs_raw_batch(payload, blocks, interpret)
+
+    # ---- host pass: literals + O(nseq) index work per block ----
     ctx = lib.zstd_ctx()
     reps = np.array([1, 4, 8], np.int64)
     # specs: ("direct", content_off, piece, None)

@@ -254,6 +254,10 @@ def _fse_call(nb_grid: int, T: int, W: int, interpret: bool):
 
 
 def _bucket_T(n: int) -> int:
+    # 2560 is the VMEM ceiling: phase B's unrolled log-shift stages over
+    # (6T+7, L) rows spill past the 128 MiB VMEM at T = 4096 (measured:
+    # 206 MB of register spill slots) — denser blocks use the native host
+    # FSE writer, which the e2e router prefers on this relay anyway
     for t in (64, 256, 1024, 2560):
         if n <= t:
             return t
@@ -274,15 +278,16 @@ def encode_seq_bitstreams_device(blocks, interpret: bool = False):
     if T < 0:
         return out
     R = rows_for(T)
-    nbat = -(-len(idx) // L)
-    sym = np.zeros((nbat, 3 * T, L), np.int32)
-    tabs = np.zeros((nbat, 3 * (2 * NSYM + STT), L), np.int32)
-    nseq = np.zeros((nbat, 1, L), np.int32)
-    cval = np.zeros((nbat, R, L), np.int32)
-    cnb = np.zeros((nbat, R, L), np.int32)
+    Lb = L
+    nbat = -(-len(idx) // Lb)
+    sym = np.zeros((nbat, 3 * T, Lb), np.int32)
+    tabs = np.zeros((nbat, 3 * (2 * NSYM + STT), Lb), np.int32)
+    nseq = np.zeros((nbat, 1, Lb), np.int32)
+    cval = np.zeros((nbat, R, Lb), np.int32)
+    cnb = np.zeros((nbat, R, Lb), np.int32)
     CH = 2 * NSYM + STT
     for j, bi in enumerate(idx):
-        g, lane = divmod(j, L)
+        g, lane = divmod(j, Lb)
         b = blocks[bi]
         n = b["nseq"]
         nseq[g, 0, lane] = n
@@ -334,19 +339,20 @@ def encode_seq_bitstreams_device(blocks, interpret: bool = False):
     words = np.ascontiguousarray(np.asarray(words))
     bits = np.asarray(bits)
     for j, bi in enumerate(idx):
-        g, lane = divmod(j, L)
+        g, lane = divmod(j, Lb)
         nbits = int(bits[g, 0, lane])
         nbytes = (nbits + 7) // 8
         out[bi] = words[g, :, lane].astype("<u4").tobytes()[:nbytes]
     return out
 
 
-def _chan_prep(codes_nb, default_norm, default_log, max_log):
-    """-> (mode, header_bytes, (dnb, dfs, stt, tlog)) for one channel."""
-    from .sequences import _channel_plan, _RleEncoder
+def _chan_prep(syms, default_norm, default_log, max_log):
+    """-> (mode, header_bytes, (dnb, dfs, stt, tlog)) for one channel.
+    syms: plain code array (vectorized — no per-sequence python pairs)."""
+    from .sequences import _channel_plan_syms, _RleEncoder
 
-    mode, hdr, fac = _channel_plan(codes_nb, default_norm, default_log,
-                                   max_log)
+    mode, hdr, fac = _channel_plan_syms(syms, default_norm, default_log,
+                                        max_log)
     enc = fac()
     if isinstance(enc, _RleEncoder):
         z = np.zeros(1, np.int64)
@@ -360,12 +366,20 @@ def _chan_prep(codes_nb, default_norm, default_log, max_log):
 def prep_block(seqs, reps=(1, 4, 8)):
     """Mirror encode_sequences up to (but excluding) the bitstream:
     returns (prefix_bytes, prep_dict) — prefix = nseq header + SCM byte +
-    NCount descriptions; prep_dict feeds encode_seq_bitstreams_device."""
-    from .sequences import (LL_DEFAULT, LL_LOG, ML_DEFAULT, ML_LOG,
-                            OF_DEFAULT, OF_LOG, _recode_repeat_offsets,
-                            ll_code, ml_code, of_code)
+    NCount descriptions; prep_dict feeds encode_seq_bitstreams_device.
 
-    n = len(seqs)
+    Fully vectorized host prep (VERDICT r4 item 6): seqs may be a list of
+    (ll, offset_value, ml) tuples or an (n, 3) array; the only sequential
+    piece — the repeat-offset register chain — runs in native C++
+    (stn_recode_reps_enc), everything else is numpy array math. The
+    round-4 measurement had this loop at 872 ms vs a 454 ms device step;
+    vectorized it is O(nseq) numpy + one native call."""
+    from ..native import lib
+    from .sequences import (LL_DEFAULT, LL_LOG, ML_DEFAULT, ML_LOG,
+                            OF_DEFAULT, OF_LOG, _recode_repeat_offsets)
+
+    arr = np.asarray(seqs, np.int64).reshape(-1, 3)
+    n = len(arr)
     out = bytearray()
     if n < 128:
         out.append(n)
@@ -377,10 +391,18 @@ def prep_block(seqs, reps=(1, 4, 8)):
     if n == 0:
         return bytes(out), None
 
-    seqs, _ = _recode_repeat_offsets(seqs, reps)
-    lls = np.asarray([s[0] for s in seqs], np.int64)
-    ofs = np.asarray([s[1] for s in seqs], np.int64)
-    mls = np.asarray([s[2] for s in seqs], np.int64)
+    lls = arr[:, 0]
+    mls = arr[:, 2]
+    if lib is not None and hasattr(lib, "recode_reps_enc"):
+        ofs = lib.recode_reps_enc(
+            lls, arr[:, 1], np.asarray(reps, np.int64).copy())
+        if isinstance(ofs, int):
+            raise ValueError(f"bad offset_value stream ({ofs})")
+        ofs = ofs.astype(np.int64)
+    else:
+        recoded, _ = _recode_repeat_offsets(
+            [tuple(map(int, t)) for t in arr], reps)
+        ofs = np.asarray([s[1] for s in recoded], np.int64)
     ll_sym, ll_nb = _ll_codes_np(lls)
     ml_sym, ml_nb = _ml_codes_np(mls)
     # of_code: code = highbit(offset_value); frexp is exact below 2^53
@@ -388,12 +410,9 @@ def prep_block(seqs, reps=(1, 4, 8)):
     of_x = ofs - (np.int64(1) << of_sym)
     of_nb = of_sym
 
-    llc = list(zip(ll_sym.tolist(), ll_nb.tolist()))
-    mlc = list(zip(ml_sym.tolist(), ml_nb.tolist()))
-    ofc_pairs = list(zip(of_sym.tolist(), of_nb.tolist()))
-    ll_m, ll_h, ll_t = _chan_prep(llc, LL_DEFAULT, LL_LOG, 9)
-    of_m, of_h, of_t = _chan_prep(ofc_pairs, OF_DEFAULT, OF_LOG, 8)
-    ml_m, ml_h, ml_t = _chan_prep(mlc, ML_DEFAULT, ML_LOG, 9)
+    ll_m, ll_h, ll_t = _chan_prep(ll_sym, LL_DEFAULT, LL_LOG, 9)
+    of_m, of_h, of_t = _chan_prep(of_sym, OF_DEFAULT, OF_LOG, 8)
+    ml_m, ml_h, ml_t = _chan_prep(ml_sym, ML_DEFAULT, ML_LOG, 9)
     out.append((ll_m << 6) | (of_m << 4) | (ml_m << 2))
     out += ll_h + of_h + ml_h
 

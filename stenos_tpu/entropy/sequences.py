@@ -92,9 +92,16 @@ def _channel_plan(codes, default_norm, default_log, max_log):
     size + Shannon bits of the code stream under each table
     (zstd_wrapper.h's libzstd makes the same three-way choice internally).
     """
+    return _channel_plan_syms(np.asarray([c for c, _ in codes], np.int64),
+                              default_norm, default_log, max_log)
+
+
+def _channel_plan_syms(syms, default_norm, default_log, max_log):
+    """_channel_plan on a plain symbol-code array (the vectorized prep
+    path, fse_pallas.prep_block — no per-sequence python pairs)."""
     from .fse import normalize_counts, write_ncount
 
-    syms = np.asarray([c for c, _ in codes], np.int64)
+    syms = np.asarray(syms, np.int64)
     n = len(syms)
     counts = np.bincount(syms)
     present = np.flatnonzero(counts)

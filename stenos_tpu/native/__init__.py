@@ -85,6 +85,27 @@ class _Native:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_size_t]
+        cdll.stn_zstd_dtables.restype = ctypes.c_ssize_t
+        cdll.stn_zstd_dtables.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        cdll.stn_zstd_seqs_raw.restype = ctypes.c_ssize_t
+        cdll.stn_zstd_seqs_raw.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_size_t]
+        cdll.stn_resolve_reps.restype = ctypes.c_ssize_t
+        cdll.stn_resolve_reps.argtypes = [
+            ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        cdll.stn_recode_reps_enc.restype = ctypes.c_ssize_t
+        cdll.stn_recode_reps_enc.argtypes = [
+            ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        cdll.stn_fse_ctable.restype = ctypes.c_ssize_t
+        cdll.stn_fse_ctable.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         cdll.stn_matchiness.restype = ctypes.c_double
         cdll.stn_matchiness.argtypes = [
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t]
@@ -286,6 +307,104 @@ class _Native:
         if r < 0:
             return int(r)
         return ll[:r], ml[:r], off[:r]
+
+    def zstd_dtables(self, sec, ctx):
+        """Header/table prep for the device FSE sequence decoder: parse the
+        nseq header + modes and build the three decode tables (Repeat_Mode
+        persists in ctx) WITHOUT walking the bitstream — that walk runs on
+        the TPU (entropy/seqdec_pallas.py).
+
+        Returns (nseq, meta (8,) int32, tab (1536,) int32) or a negative
+        error. meta = [nseq, bitstream byte offset, bp0 bits, tl_ll,
+        tl_of, tl_ml, 0, 0]; tab rows ch*512+state pack
+        sym | nb<<8 | base<<16, channels LL, OF, ML."""
+        import numpy as np
+
+        sec = bytes(sec)
+        tab = np.zeros(3 * 512, np.int32)
+        meta = np.zeros(8, np.int32)
+        as_p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        r = self._lib.stn_zstd_dtables(
+            sec, len(sec), ctx.ctypes.data_as(ctypes.c_void_p),
+            as_p(tab), as_p(meta))
+        if r < 0:
+            return int(r)
+        return int(r), meta, tab
+
+    def zstd_seqs_raw(self, sec, ctx, cap: int = 0x20000):
+        """Host twin of the device kernel's walk: decodes one sequences
+        section to RAW (ll, ml, offset_value) triples — no repcode
+        resolution — so out-of-bucket blocks join the same
+        resolve_reps pass as device-decoded ones. Returns the triples or
+        a negative error."""
+        import numpy as np
+
+        sec = bytes(sec)
+        ll = np.empty(cap, np.int32)
+        ml = np.empty(cap, np.int32)
+        ofv = np.empty(cap, np.int32)
+        as_p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        r = self._lib.stn_zstd_seqs_raw(sec, len(sec), as_p(ctx), as_p(ll),
+                                        as_p(ml), as_p(ofv), cap)
+        if r < 0:
+            return int(r)
+        return ll[:r], ml[:r], ofv[:r]
+
+    def fse_ctable(self, norm, table_log: int):
+        """FSE compression table (tANS spread + deltas) — native twin of
+        fse.build_ctable's sequential spread loop. Returns
+        (state_table (size,) int64, dnb (S,) int64, dfs (S,) int64) or a
+        negative error."""
+        import numpy as np
+
+        norm = np.ascontiguousarray(norm, np.int32)
+        n_sym = len(norm)
+        state = np.zeros(512, np.int32)
+        dnb = np.zeros(64, np.int64)
+        dfs = np.zeros(64, np.int64)
+        as_p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        r = self._lib.stn_fse_ctable(as_p(norm), n_sym, table_log,
+                                     as_p(state), as_p(dnb), as_p(dfs))
+        if r < 0:
+            return int(r)
+        return (state[: 1 << table_log].astype(np.int64), dnb[:n_sym],
+                dfs[:n_sym])
+
+    def recode_reps_enc(self, ll, ofv, reps):
+        """Encode-side repeat-offset recode (twin of
+        sequences._recode_repeat_offsets): raw offset_values (offset + 3)
+        -> repeat codes 1-3 where the registers match; reps (3,) int64
+        updated in place. Returns the recoded offset-value array or a
+        negative error."""
+        import numpy as np
+
+        ll = np.ascontiguousarray(ll, np.int32)
+        ofv = np.ascontiguousarray(ofv, np.int32)
+        n = len(ll)
+        out = np.empty(max(n, 1), np.int32)
+        as_p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        r = self._lib.stn_recode_reps_enc(n, as_p(ll), as_p(ofv),
+                                          as_p(reps), as_p(out))
+        if r < 0:
+            return int(r)
+        return out[:n]
+
+    def resolve_reps(self, ll, ofv, reps):
+        """Repcode resolution for the device FSE decoder's RAW
+        (ll, offset_value) outputs; reps (3,) int64 updated in place.
+        Returns resolved offsets (n,) int64 or a negative error."""
+        import numpy as np
+
+        ll = np.ascontiguousarray(ll, np.int32)
+        ofv = np.ascontiguousarray(ofv, np.int32)
+        n = len(ll)
+        off = np.empty(max(n, 1), np.int64)
+        as_p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        r = self._lib.stn_resolve_reps(n, as_p(ll), as_p(ofv), as_p(reps),
+                                       as_p(off))
+        if r < 0:
+            return int(r)
+        return off[:n]
 
     def huf_lits(self, src, four: bool, treeless: bool, regenerated: int,
                  ctx):

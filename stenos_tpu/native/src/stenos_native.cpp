@@ -2105,6 +2105,124 @@ EXPORT ptrdiff_t stn_seq_ops(size_t nseq, const int32_t* ll,
     return (ptrdiff_t)nops;
 }
 
+// ENCODE-side repeat-offset recode (twin of sequences._recode_repeat_
+// offsets, libzstd's ZSTD_updateRep rule): raw offset_values (offset + 3)
+// become repeat codes 1-3 where the recent-offset registers match. reps
+// updated in place. The sequential register chain made this a python
+// per-sequence loop in the device-FSE prep (VALIDATE_r04 §5's 872 ms);
+// here it is the only non-vectorizable piece, at native speed.
+EXPORT ptrdiff_t stn_recode_reps_enc(size_t nseq, const int32_t* ll,
+                                     const int32_t* ofv, int64_t* reps,
+                                     int32_t* ofv_out) {
+    for (size_t i = 0; i < nseq; ++i) {
+        const int64_t off = (int64_t)ofv[i] - 3;
+        if (off <= 0) return ERR_INPUT;
+        int code;
+        if (ll[i] != 0) {
+            code = off == reps[0] ? 1
+                 : off == reps[1] ? 2
+                 : off == reps[2] ? 3 : 0;
+        } else {
+            code = off == reps[1] ? 1
+                 : off == reps[2] ? 2
+                 : off == reps[0] - 1 ? 3 : 0;
+        }
+        if (code == 0) {
+            ofv_out[i] = (int32_t)(off + 3);
+            reps[2] = reps[1];
+            reps[1] = reps[0];
+            reps[0] = off;
+        } else {
+            ofv_out[i] = code;
+            const int rep_idx = code - 1 + (ll[i] == 0 ? 1 : 0);
+            if (rep_idx == 1) {
+                const int64_t t = reps[1];
+                reps[1] = reps[0];
+                reps[0] = t;
+            } else if (rep_idx == 2) {
+                const int64_t t = reps[2];
+                reps[2] = reps[1];
+                reps[1] = reps[0];
+                reps[0] = t;
+            } else if (rep_idx == 3) {
+                const int64_t t = reps[0] - 1;
+                reps[2] = reps[1];
+                reps[1] = reps[0];
+                reps[0] = t;
+            }
+        }
+    }
+    return (ptrdiff_t)nseq;
+}
+
+// Host twin of the DEVICE kernel's walk: identical to stn_zstd_seqs but
+// emits RAW offset VALUES (no repcode resolution) so blocks that exceed
+// the device buckets can join the same uniform stn_resolve_reps pass as
+// device-decoded blocks. Returns nseq or a negative error.
+EXPORT ptrdiff_t stn_zstd_seqs_raw(const uint8_t* sec, size_t n,
+                                   uint8_t* ctx_blob, int32_t* ll_out,
+                                   int32_t* ml_out, int32_t* ofv_out,
+                                   size_t cap) {
+    ZstdDecCtx* ctx = (ZstdDecCtx*)ctx_blob;
+    if (n < 1) return ERR_SRC;
+    size_t p = 0;
+    uint32_t nseq;
+    const uint8_t b0 = sec[p++];
+    if (b0 < 128) {
+        nseq = b0;
+    } else if (b0 < 255) {
+        if (p >= n) return ERR_SRC;
+        nseq = ((uint32_t)(b0 - 128) << 8) + sec[p++];
+    } else {
+        if (p + 2 > n) return ERR_SRC;
+        nseq = sec[p] + ((uint32_t)sec[p + 1] << 8) + 0x7F00;
+        p += 2;
+    }
+    if (nseq == 0) return 0;
+    if (nseq > cap || p >= n) return ERR_INPUT;
+    const uint8_t modes = sec[p++];
+    if (modes & 3) return ERR_INPUT;
+    size_t used;
+    if (ctx->ll.build((modes >> 6) & 3, kLLDefault, 35, 6, 9, sec + p,
+                      n - p, &used))
+        return ERR_INPUT;
+    p += used;
+    if (ctx->of.build((modes >> 4) & 3, kOFDefault, 28, 5, 8, sec + p,
+                      n - p, &used))
+        return ERR_INPUT;
+    p += used;
+    if (ctx->ml.build((modes >> 2) & 3, kMLDefault, 52, 6, 9, sec + p,
+                      n - p, &used))
+        return ERR_INPUT;
+    p += used;
+    BwdBits br;
+    if (br.init(sec + p, n - p)) return ERR_SRC;
+    ctx->ll.init_state(br);
+    ctx->of.init_state(br);
+    ctx->ml.init_state(br);
+    for (uint32_t i = 0; i < nseq; ++i) {
+        const uint8_t of_code = ctx->of.symbol();
+        if (of_code > 30) return ERR_INPUT;
+        const uint32_t off_val = (1u << of_code) + br.read(of_code);
+        const uint8_t ml_code = ctx->ml.symbol();
+        if (ml_code > 52) return ERR_INPUT;
+        const uint32_t ml = kMLBase[ml_code] + br.read(kMLBits[ml_code]);
+        const uint8_t ll_code = ctx->ll.symbol();
+        if (ll_code > 35) return ERR_INPUT;
+        const uint32_t ll = kLLBase[ll_code] + br.read(kLLBits[ll_code]);
+        ll_out[i] = (int32_t)ll;
+        ml_out[i] = (int32_t)ml;
+        ofv_out[i] = (int32_t)off_val;
+        if (i + 1 < nseq) {
+            ctx->ll.update(br);
+            ctx->ml.update(br);
+            ctx->of.update(br);
+        }
+    }
+    if (br.bits != 0) return ERR_INPUT;
+    return (ptrdiff_t)nseq;
+}
+
 // Header/table prep for the DEVICE FSE sequence decoder
 // (entropy/seqdec_pallas.py): parse the nseq header + channel modes and
 // build the three decode tables — the same machinery stn_zstd_seqs uses,
@@ -2178,37 +2296,15 @@ EXPORT ptrdiff_t stn_zstd_dtables(const uint8_t* sec, size_t n,
     return (ptrdiff_t)nseq;
 }
 
-// Repcode resolution + W-chunked program build, fused: consumes the
-// device FSE kernel's RAW (ll, ml, offset_value) triples, resolves the
-// repeat offsets exactly like stn_zstd_seqs (RFC 8878 §3.1.1.3.2.1.1,
-// reps updated in place), and emits the same op stream as stn_seq_ops.
-// off_out (nullable): resolved offsets for twin checks. Returns the op
-// count or a negative error.
-EXPORT ptrdiff_t stn_seq_resolve_ops(size_t nseq, const int32_t* ll,
-                                     const int32_t* ml, const int32_t* ofv,
-                                     int64_t* reps, int64_t dst_base,
-                                     int64_t lit_base, int64_t trailing,
-                                     int64_t out_limit, int32_t W,
-                                     int32_t* ops, size_t cap,
-                                     int64_t* off_out) {
-    size_t nops = 0;
-    int64_t pos = dst_base;
-    int64_t lit = lit_base;
-    auto emit = [&](int64_t dst, int64_t src, int32_t flag) -> bool {
-        if (nops + 1 > cap) return false;
-        ops[3 * nops] = (int32_t)dst;
-        ops[3 * nops + 1] = (int32_t)src;
-        ops[3 * nops + 2] = flag;
-        ++nops;
-        return true;
-    };
-    auto emit_lit = [&](int64_t len) -> bool {
-        for (int64_t c = 0; c < len; c += W)
-            if (!emit(pos + c, lit + c, 1)) return false;
-        pos += len;
-        lit += len;
-        return true;
-    };
+// Repcode resolution for the DEVICE FSE sequence decoder: consumes the
+// kernel's RAW (ll, offset_value) pairs, resolves the repeat offsets
+// exactly like stn_zstd_seqs (RFC 8878 §3.1.1.3.2.1.1; reps updated in
+// place) and writes the resolved offsets. O(nseq) integer work, zero bit
+// reading — the entropy half already ran on the TPU. Returns 0 or a
+// negative error.
+EXPORT ptrdiff_t stn_resolve_reps(size_t nseq, const int32_t* ll,
+                                  const int32_t* ofv, int64_t* reps,
+                                  int64_t* off_out) {
     for (size_t i = 0; i < nseq; ++i) {
         const int64_t off_val = (int64_t)(uint32_t)ofv[i];
         int64_t off;
@@ -2239,34 +2335,9 @@ EXPORT ptrdiff_t stn_seq_resolve_ops(size_t nseq, const int32_t* ll,
             }
         }
         if (off <= 0) return ERR_INPUT;
-        if (off_out) off_out[i] = off;
-        if (!emit_lit(ll[i])) return ERR_DST;
-        const int64_t o = off;
-        const int64_t m = ml[i];
-        if (o > pos - 0 || pos + m > out_limit) return ERR_INPUT;
-        if (o >= W) {
-            for (int64_t c = 0; c < m; c += W)
-                if (!emit(pos + c, pos + c - o, 0)) return ERR_DST;
-        } else {
-            int64_t c = 0;
-            int64_t step = o;
-            while (c < m) {
-                if (!emit(pos + c, pos + c - step, 0)) return ERR_DST;
-                c += step < m - c ? step : m - c;
-                if (step < W) {
-                    int64_t k = W / o;
-                    const int64_t k2 = (c + o) / o;
-                    if (k2 < k) k = k2;
-                    if (k < 1) k = 1;
-                    step = k * o;
-                }
-            }
-        }
-        pos += m;
+        off_out[i] = off;
     }
-    if (!emit_lit(trailing)) return ERR_DST;
-    if (pos > out_limit) return ERR_INPUT;
-    return (ptrdiff_t)nops;
+    return 0;
 }
 
 // ===================================================================
@@ -2536,6 +2607,28 @@ inline ptrdiff_t seq_encode(const int32_t* seqs_in, size_t n, int64_t* reps,
 }
 
 }  // namespace
+
+// FSE compression-table build (the tANS spread + delta construction) for
+// the device-FSE encode prep: the python twin (fse.build_ctable) was 45%
+// of prep_block's host time (sequential spread loop). Same tables as
+// FseEncSeq::build — byte-identity of the device bitstreams is pinned by
+// tests/test_fse_pallas.py.
+//   norm: (n_sym,) int32 normalized counts (-1 allowed); tlog <= 9
+//   out_state: (512,) int32; out_dnb/out_dfs: (64,) int64
+EXPORT ptrdiff_t stn_fse_ctable(const int32_t* norm, int n_sym, int tlog,
+                                int32_t* out_state, int64_t* out_dnb,
+                                int64_t* out_dfs) {
+    if (tlog < 1 || tlog > 9 || n_sym < 1 || n_sym > 64) return ERR_INPUT;
+    FseEncSeq enc;
+    enc.build(norm, n_sym, tlog);
+    const int size = 1 << tlog;
+    for (int i = 0; i < size; ++i) out_state[i] = enc.state_table[i];
+    for (int s = 0; s < n_sym; ++s) {
+        out_dnb[s] = enc.dnb[s];
+        out_dfs[s] = enc.dfs[s];
+    }
+    return 0;
+}
 
 namespace {
 

@@ -173,7 +173,7 @@ def test_decode_kernel_v3_matches_v2(rng):
         sb[i, : len(enc)] = np.frombuffer(enc, np.uint8)
     anchs = np.stack(anchs)
     tabs = np.stack(tabs)
-    for v in (2, 3, 4):
+    for v in (2, 3, 4, 5, 6):
         out = np.asarray(decode_streams_device(
             jnp.asarray(sb), jnp.asarray(anchs), jnp.asarray(tabs),
             interpret=True, v=v))
