@@ -437,7 +437,8 @@ class JaxEngine:
         return out[:nbytes]
 
 
-def decompress_frame_batched(frame: bytes, bpp: int, engine=None):
+def decompress_frame_batched(frame: bytes, bpp: int, engine=None,
+                             keep_device: bool = False):
     """Decode a whole frame with ONE device call when every superblock is
     method BLOCK with the same decoded size (the level-1/2 typed-array fast
     path): parse all superblocks on the host (C++ index builder), concatenate
@@ -449,6 +450,14 @@ def decompress_frame_batched(frame: bytes, bpp: int, engine=None):
 
     Returns a numpy array, or None when the frame shape doesn't fit the fast
     path (caller falls back to frame.decompress).
+
+    keep_device=True returns the decoded chunks as a LIST of device int32
+    word arrays with NO device->host fetch at all — the strict
+    no-D2H-before-H2D ordering (any D2H permanently poisons this relay's
+    H2D to ~0.05 GB/s, NOTES.md): all parses/uploads/dispatches issue
+    first, outputs stay in HBM for the caller (a device pipeline, or one
+    final checksum/fetch). Each chunk gets its own parse buffers so no
+    in-flight upload is ever overwritten.
     """
     from .frame import get_info
     from .native import lib as native
@@ -494,7 +503,8 @@ def decompress_frame_batched(frame: bytes, bpp: int, engine=None):
                 ok = True
                 for c0 in range(0, n_sb, CHUNK):
                     c1 = min(c0 + CHUNK, n_sb)
-                    bufs = _parse_bufs(c1 - c0, row_bytes, sb // 256)
+                    bufs = (None if keep_device
+                            else _parse_bufs(c1 - c0, row_bytes, sb // 256))
                     r = native.parse_rows_batch(
                         frame, bpp, sb, offs[c0:c1], csizes[c0:c1],
                         row_bytes, bufs=bufs)
@@ -521,10 +531,13 @@ def decompress_frame_batched(frame: bytes, bpp: int, engine=None):
                                   "pipeline", e)
                         ok = False
                         break
-                    while len(pending) > 2:  # bound in-flight buffer reuse
-                        done.append(np.ascontiguousarray(
-                            np.asarray(pending.pop(0))))
+                    if not keep_device:
+                        while len(pending) > 2:  # bound in-flight reuse
+                            done.append(np.ascontiguousarray(
+                                np.asarray(pending.pop(0))))
                 if ok and (pending or done):
+                    if keep_device:
+                        return pending  # device word arrays, zero D2H
                     try:
                         done += [np.ascontiguousarray(np.asarray(w))
                                  for w in pending]

@@ -213,6 +213,9 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
     has_rle = block_level >= 1
     target = 256 - RAW_DIFF[block_level]
     K = max(1, (nb * V - 1).bit_length())
+    import os as _os  # ablation knob: clamp compaction stages (timing only,
+    # output WRONG when clamped below the real K — never set in production)
+    K = min(K, int(_os.environ.get("STENOS_ENC_KMAX", "99")))
 
     def build_X_from_words(words):
         """words (nb, 64*bpp) int32 (natural LE32 view of the superblock)
@@ -341,6 +344,8 @@ def make_encode_kernel(bpp: int, nb: int, block_level: int,
         out12 = jnp.zeros((G, 12, nb), jnp.int32)
         mid12 = _iota((G, 12, nb), 1)
         for bb in range(1, 7):
+            if _os.environ.get("STENOS_ENC_NOPACK") == "1":
+                break  # ablation: skip the bit-pack emission (wrong output)
             pk = _pack16_mid(v, bb)  # (G, 2bb, nb)
             if 2 * bb < 12:
                 pk = jnp.concatenate(

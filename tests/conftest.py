@@ -14,6 +14,12 @@ if "parallel_codegen" not in flags:
     # single-threaded codegen trades a little compile time for determinism
     flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
 os.environ["XLA_FLAGS"] = flags
+# The device FSE sequence-decode route (STENOS_DEVICE_SEQS=auto) would run
+# interpret-mode seqdec kernels inside EVERY tier-2 payload decode across
+# the suite (~minutes each on big frames). Default the suite to the host
+# twin; the dedicated files (test_seqdec_pallas.py, test_seq_device_decode
+# .py) opt back in and cover the device route end-to-end.
+os.environ.setdefault("STENOS_DEVICE_SEQS", "0")
 
 import jax
 

@@ -19,6 +19,13 @@ from stenos_tpu.native import lib
 
 pytestmark = pytest.mark.skipif(lib is None, reason="native runtime missing")
 
+# this file covers the FULL device route: FSE sequence decode on the
+# (interpret-mode) kernel + device match reconstruction. The rest of the
+# suite defaults to the host twin (conftest sets STENOS_DEVICE_SEQS=0).
+os.environ["STENOS_DEVICE_SEQS"] = "1"
+
+FULL = bool(os.environ.get("STENOS_FULL_GRID"))
+
 
 def _check(payload: bytes, data: bytes):
     out = decode_payload_device(payload, len(data), interpret=True)
@@ -27,17 +34,19 @@ def _check(payload: bytes, data: bytes):
 
 
 def _families(rng):
+    n = 260_000 if FULL else 80_000
+    m = 9000 if FULL else 4000
     return {
-        "text": b"the quick brown fox jumps over the lazy dog " * 9000,
-        "runs": np.repeat(rng.integers(0, 8, 9000, np.uint8),
-                          rng.integers(1, 60, 9000)).tobytes(),
-        "ts": np.cumsum(rng.integers(-3, 4, 260_000)).astype(np.int16)
+        "text": b"the quick brown fox jumps over the lazy dog " * m,
+        "runs": np.repeat(rng.integers(0, 8, m, np.uint8),
+                          rng.integers(1, 60, m)).tobytes(),
+        "ts": np.cumsum(rng.integers(-3, 4, n)).astype(np.int16)
               .tobytes(),
         "short": b"abcabcabcXY",
     }
 
 
-@pytest.mark.parametrize("level", [1, 3, 9])
+@pytest.mark.parametrize("level", [1, 3, 9] if FULL else [1, 3])
 def test_libzstd_sequence_frames(level):
     rng = np.random.default_rng(5)
     for name, data in _families(rng).items():
